@@ -1,0 +1,204 @@
+"""Modulated deformable convolution (DCNv2) — TPU-native.
+
+The reference imports an external CUDA extension for this op
+(layers/dcn_v2_custom.py:13 ``from dcn_v2 import _DCNv2``) and wraps it
+with a zero-initialized offset/mask predictor conv
+(dcn_v2_custom.py:58-89). This module provides the same semantics as a
+pure-XLA program designed for the MXU:
+
+Instead of an im2col over all K*C values (which would materialize a
+[B,H,W,K,C] tensor), the conv is decomposed per kernel tap k:
+
+    y = sum_k  (bilinear_warp(x, offset_k) * mask_k) @ W_k
+
+Each tap is a per-deformable-group bilinear gather producing a
+[B,H,W,C] intermediate followed by a [BHW, C] x [C, Cout] matmul —
+K=9 gathers+matmuls that XLA pipelines, with peak memory O(B*H*W*C)
+instead of O(B*H*W*K*C). Gradients come from jax autodiff (gather ->
+scatter-add). ``deformable_groups`` gives each phase group its own
+offset field, which is the GSSD++ phase-alignment mechanism
+(groups_dcn=4).
+
+Offset/mask layout (ours, clean): dy[B,H,W,dg,K], dx[B,H,W,dg,K],
+mask[B,H,W,dg,K]. The predictor conv is zero-init so the op starts as a
+plain conv with mask 0.5 — matching the reference's zero-init
+conv_offset_mask + sigmoid (dcn_v2_custom.py:66-77).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gssd_tpu.ops.layers import xavier_uniform
+
+
+def _bilinear_gather_group(
+    x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample x [H, W, G, C] at real-valued (py, px) [Ho, Wo, G] per group.
+
+    Out-of-bounds samples contribute 0 (matching the CUDA kernel's
+    border handling). Returns [Ho, Wo, G, C].
+    """
+    H, W, G, C = x.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy1 = (py - y0)[..., None]
+    wx1 = (px - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    xf = x.reshape(H * W, G, C)
+    gidx = jnp.arange(G)[None, None, :]
+
+    def corner(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        flat = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        vals = xf[flat, gidx]  # [Ho, Wo, G, C]
+        return jnp.where(inb[..., None], vals, 0)
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx1) + v01 * wx1
+    bot = v10 * (1 - wx1) + v11 * wx1
+    return top * (1 - wy1) + bot * wy1
+
+
+def deform_conv2d(
+    x: jnp.ndarray,
+    offset_y: jnp.ndarray,
+    offset_x: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Modulated deformable conv.
+
+    Args:
+      x: [B, H, W, C] input.
+      offset_y/offset_x: [B, Ho, Wo, G, K] learned offsets (pixels).
+      mask: [B, Ho, Wo, G, K] modulation in [0, 1].
+      weight: [K, C, Cout] kernel taps (K = kh*kw, row-major).
+      bias: [Cout].
+
+    Returns [B, Ho, Wo, Cout].
+    """
+    B, H, W, C = x.shape
+    K = weight.shape[0]
+    kh = kw = int(round(K ** 0.5))
+    G = mask.shape[3]
+    Cg = C // G
+    Ho, Wo = mask.shape[1], mask.shape[2]
+
+    out_y = jnp.arange(Ho, dtype=x.dtype) * stride - padding
+    out_x = jnp.arange(Wo, dtype=x.dtype) * stride - padding
+    base_y = out_y[:, None, None]  # [Ho, 1, 1] (broadcasts over Wo, G)
+    base_x = out_x[None, :, None]  # [1, Wo, 1]
+
+    xg = x.reshape(B, H, W, G, Cg)
+    compute_dtype = x.dtype
+
+    def one_image(xi, oy, ox, mi):
+        acc = None
+        for k in range(K):
+            u, v = divmod(k, kw)
+            py = base_y + u * dilation + oy[..., k]  # [Ho, Wo, G]
+            px = base_x + v * dilation + ox[..., k]
+            sampled = _bilinear_gather_group(xi, py, px)  # [Ho, Wo, G, Cg]
+            sampled = sampled * mi[..., k][..., None]
+            tap = sampled.reshape(Ho * Wo, C) @ weight[k].astype(compute_dtype)
+            acc = tap if acc is None else acc + tap
+        return acc.reshape(Ho, Wo, -1)
+
+    out = jax.vmap(one_image)(
+        xg,
+        offset_y.astype(compute_dtype),
+        offset_x.astype(compute_dtype),
+        mask.astype(compute_dtype),
+    )
+    return out + bias.astype(compute_dtype)
+
+
+class DCN(nn.Module):
+    """Deformable conv block with its own offset/mask predictor.
+
+    Reference: layers/dcn_v2_custom.py:58-89 (class DCN). The predictor
+    is a plain conv, zero-initialized, producing 3*G*K channels split
+    into (dy, dx, mask-logits); mask = sigmoid. Returns
+    (output, offsets) where offsets is [B, Ho, Wo, G, K, 2] (dy, dx) for
+    visualization parity (utils/show_offset.py consumes these).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    deformable_groups: int = 1
+    dtype: Any = jnp.bfloat16
+    impl: str = "xla"  # 'xla' | 'pallas'
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, H, W, C = x.shape
+        K = self.kernel * self.kernel
+        G = self.deformable_groups
+
+        om = nn.Conv(
+            3 * G * K,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv_offset_mask",
+        )(x)
+        Ho, Wo = om.shape[1], om.shape[2]
+        om = om.astype(jnp.float32).reshape(B, Ho, Wo, 3, G, K)
+        dy, dx, m = om[:, :, :, 0], om[:, :, :, 1], om[:, :, :, 2]
+        m = jax.nn.sigmoid(m)
+
+        # kernel weight in [K, C, Cout] tap layout; init uniform
+        # (-stdv, stdv), stdv = 1/sqrt(C*K) as in dcn_v2_custom.py:37-43
+        stdv = 1.0 / np.sqrt(C * K)
+
+        def uniform_sym(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+        weight = self.param(
+            "weight", uniform_sym, (K, C, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+        if self.impl == "pallas":
+            from gssd_tpu.ops.pallas.deform_conv_kernel import (
+                deform_conv2d_pallas,
+            )
+
+            out = deform_conv2d_pallas(
+                x, dy, dx, m, weight, bias,
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation,
+            )
+        else:
+            out = deform_conv2d(
+                x, dy, dx, m, weight, bias,
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation,
+            )
+        offsets = jnp.stack([dy, dx], axis=-1)
+        return out, offsets

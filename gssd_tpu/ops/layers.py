@@ -1,0 +1,235 @@
+"""Neural-net building blocks (flax linen, NHWC, TPU-first).
+
+Covers the reference's layer zoo:
+- ``ConvBNRelu`` — grouped conv (+BN+ReLU), the GSSD backbone unit
+  (ssd_multiphase_custom_group.py:434-460, nn.Conv2d(groups=4)) via XLA
+  ``feature_group_count``.
+- ``L2Norm`` — learnable per-channel scale after channel L2
+  normalization (layers/modules/l2norm.py:7-23).
+- ``SNDense`` — spectral-normalized 1x1 conv as a Dense over the channel
+  axis, with the power-iteration u/v state in a 'spectral' variable
+  collection (reference vendors torch's SpectralNorm,
+  layers/spectral_norm.py:10-80: one power iteration per training
+  forward, frozen u/v at eval).
+- ``SelfAttention`` — SAGAN spatial self-attention with avg-pooled
+  key/value (layers/self_attn.py:29-89); the token count is H*W<=1444 so
+  the whole attention fits VMEM and XLA maps the two contractions to the
+  MXU.
+- ``adaptive_avg_pool`` — static-shape equivalent of
+  F.adaptive_avg_pool2d (self_attn.py:68,77) as two small matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def max_pool(
+    x: jnp.ndarray, window: int = 2, stride: int = 2, ceil_mode: bool = False,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """NHWC max pool with torch-style ceil_mode / symmetric int padding."""
+    h, w = x.shape[1], x.shape[2]
+    if padding:
+        pad = [(padding, padding), (padding, padding)]
+    elif ceil_mode:
+        def extra(n):
+            return (math.ceil((n - window) / stride) * stride + window) - n
+        pad = [(0, extra(h)), (0, extra(w))]
+    else:
+        pad = [(0, 0), (0, 0)]
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=[(0, 0)] + pad + [(0, 0)],
+    )
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """torch.adaptive_avg_pool2d semantics on NHWC, as two matmuls.
+
+    Segment i of an n->t pool averages rows floor(i*n/t)..ceil((i+1)*n/t).
+    Pooling matrices are trace-time constants, so this stays static-shape
+    and XLA fuses it onto the MXU.
+    """
+    def pool_matrix(n: int, t: int) -> np.ndarray:
+        m = np.zeros((t, n), np.float32)
+        for i in range(t):
+            s, e = (i * n) // t, -(-((i + 1) * n) // t)
+            m[i, s:e] = 1.0 / (e - s)
+        return m
+
+    h, w = x.shape[1], x.shape[2]
+    if h == out_size and w == out_size:
+        return x
+    mh = jnp.asarray(pool_matrix(h, out_size), x.dtype)
+    mw = jnp.asarray(pool_matrix(w, out_size), x.dtype)
+    x = jnp.einsum("th,bhwc->btwc", mh, x)
+    return jnp.einsum("tw,bhwc->bhtc", mw, x)
+
+
+class ConvBNRelu(nn.Module):
+    """Grouped conv + optional BatchNorm + optional ReLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bn: bool = False
+    relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=xavier_uniform,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+            )(x)
+            x = x.astype(self.dtype)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class L2Norm(nn.Module):
+    """Channel-wise L2 normalize then scale by a learned per-channel
+    weight (init ``scale``). Reference: layers/modules/l2norm.py."""
+
+    scale: float = 20.0
+    eps: float = 1e-10
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight", nn.initializers.constant(self.scale), (x.shape[-1],)
+        )
+        x32 = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True)) + self.eps
+        return ((x32 / norm) * w).astype(x.dtype)
+
+
+def _l2_normalize(v, eps=1e-12):
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+class SNDense(nn.Module):
+    """Spectral-normalized 1x1 conv over the channel axis.
+
+    Matches torch spectral_norm semantics (layers/spectral_norm.py):
+    weight matrix [out, in], one power iteration per *training* forward
+    updating persistent u [out] / v [in]; at eval sigma is computed from
+    the frozen vectors. The u/v state lives in the 'spectral' variable
+    collection so it threads through the train-state pytree (and gets a
+    fold axis under vmapped cross-validation).
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", xavier_uniform, (in_features, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        def init_vec(key, n):
+            return _l2_normalize(jax.random.normal(key, (n,), jnp.float32))
+
+        u = self.variable(
+            "spectral", "u", init_vec, self.make_rng("params") if self.is_initializing() else None, self.features
+        )
+        v = self.variable(
+            "spectral", "v", init_vec, self.make_rng("params") if self.is_initializing() else None, in_features
+        )
+
+        # torch's weight_mat is [out, in]; kernel is [in, out]
+        w = kernel.T
+        if train and not self.is_initializing():
+            v_new = _l2_normalize(w.T @ u.value, self.eps)
+            u_new = _l2_normalize(w @ v_new, self.eps)
+            # grads must not flow through the power iteration
+            u_new = jax.lax.stop_gradient(u_new)
+            v_new = jax.lax.stop_gradient(v_new)
+            u.value, v.value = u_new, v_new
+            sigma = jnp.dot(u_new, w @ v_new)
+        else:
+            sigma = jnp.dot(u.value, w @ v.value)
+        w_sn = (kernel / sigma).astype(self.dtype)
+        y = x.astype(self.dtype) @ w_sn + bias.astype(self.dtype)
+        return y
+
+
+class SelfAttention(nn.Module):
+    """SAGAN self-attention over the spatial grid (self_attn.py:29-89).
+
+    theta: C->C/8 queries at full resolution; phi/g: C/8 and C/2
+    keys/values adaptively avg-pooled to (H // max_pool_factor)^2
+    tokens; out: C/2->C; residual ``x + sigma * attn_g`` with learned
+    scalar sigma (init 0). Returns (out, sigma*attn_g, attn_map).
+    """
+
+    max_pool_factor: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        pool_size = max(h // self.max_pool_factor, 1)
+
+        theta = SNDense(c // 8, dtype=self.dtype, name="theta")(x, train)
+        phi = SNDense(c // 8, dtype=self.dtype, name="phi")(x, train)
+        g = SNDense(c // 2, dtype=self.dtype, name="g")(x, train)
+
+        phi = adaptive_avg_pool(phi, pool_size)
+        g = adaptive_avg_pool(g, pool_size)
+
+        q = theta.reshape(b, h * w, c // 8)
+        k = phi.reshape(b, pool_size * pool_size, c // 8)
+        vv = g.reshape(b, pool_size * pool_size, c // 2)
+
+        logits = jnp.einsum(
+            "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        attn_g = jnp.einsum("bnm,bmd->bnd", attn, vv)
+        attn_g = attn_g.reshape(b, h, w, c // 2)
+        attn_g = SNDense(c, dtype=self.dtype, name="out")(attn_g, train)
+
+        sigma = self.param("sigma", nn.initializers.zeros, (1,), jnp.float32)
+        scaled = sigma.astype(self.dtype) * attn_g
+        return x + scaled, scaled, attn

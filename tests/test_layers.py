@@ -1,0 +1,135 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from gssd_tpu.ops.layers import (
+    ConvBNRelu,
+    L2Norm,
+    SelfAttention,
+    SNDense,
+    adaptive_avg_pool,
+    max_pool,
+)
+
+
+def test_max_pool_ceil_mode(rng):
+    x = rng.normal(size=(1, 75, 75, 4)).astype(np.float32)
+    got = np.asarray(max_pool(jnp.asarray(x), 2, 2, ceil_mode=True))
+    want = F.max_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 2, 2, ceil_mode=True
+    ).permute(0, 2, 3, 1).numpy()
+    assert got.shape == (1, 38, 38, 4)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_max_pool_3x3_s1_p1(rng):
+    x = rng.normal(size=(1, 19, 19, 4)).astype(np.float32)
+    got = np.asarray(max_pool(jnp.asarray(x), 3, 1, padding=1))
+    want = F.max_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 3, 1, padding=1
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_adaptive_avg_pool_matches_torch(rng):
+    for h, t in [(38, 19), (19, 9), (10, 3), (5, 5), (7, 2)]:
+        x = rng.normal(size=(2, h, h, 6)).astype(np.float32)
+        got = np.asarray(adaptive_avg_pool(jnp.asarray(x), t))
+        want = F.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), t
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_l2norm(rng):
+    x = rng.normal(size=(2, 4, 4, 8)).astype(np.float32)
+    mod = L2Norm(scale=20.0)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    norms = np.sqrt((x ** 2).sum(-1, keepdims=True)) + 1e-10
+    np.testing.assert_allclose(out, 20.0 * x / norms, rtol=1e-4)
+
+
+def test_conv_grouped_matches_torch(rng):
+    x = rng.normal(size=(1, 8, 8, 12)).astype(np.float32)
+    mod = ConvBNRelu(16, kernel=3, padding=1, groups=4, relu=False,
+                     dtype=jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(mod.apply(vs, jnp.asarray(x)))
+    k = np.asarray(vs["params"]["Conv_0"]["kernel"])  # [kh, kw, in/g, out]
+    conv = torch.nn.Conv2d(12, 16, 3, padding=1, groups=4, bias=True)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(k).permute(3, 2, 0, 1))
+        conv.bias.zero_()
+    want = conv(torch.from_numpy(x).permute(0, 3, 1, 2)).detach()
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_sndense_matches_torch_spectral_norm(rng):
+    """One training forward must produce the same normalized weight and
+    updated u as torch.nn.utils.spectral_norm on an equivalent layer."""
+    cin, cout = 16, 8
+    x = rng.normal(size=(2, 4, 4, cin)).astype(np.float32)
+    mod = SNDense(cout, dtype=jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    kernel = np.asarray(vs["params"]["kernel"])  # [in, out]
+    u0 = np.asarray(vs["spectral"]["u"])
+    v0 = np.asarray(vs["spectral"]["v"])
+
+    lin = torch.nn.Linear(cin, cout, bias=True)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(kernel.T))
+        lin.bias.zero_()
+    snlin = torch.nn.utils.spectral_norm(lin)
+    snlin.weight_u.data.copy_(torch.from_numpy(u0))
+    snlin.weight_v.data.copy_(torch.from_numpy(v0))
+
+    snlin.train()
+    want = snlin(torch.from_numpy(x)).detach().numpy()
+    out, mut = mod.apply(vs, jnp.asarray(x), train=True, mutable=["spectral"])
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mut["spectral"]["u"]), snlin.weight_u.detach().numpy(),
+        atol=1e-5,
+    )
+
+    # eval: frozen u/v, no mutation needed
+    snlin.eval()
+    want_eval = snlin(torch.from_numpy(x)).detach().numpy()
+    vs_updated = {"params": vs["params"], "spectral": mut["spectral"]}
+    out_eval = mod.apply(vs_updated, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out_eval), want_eval, atol=1e-4)
+
+
+def test_self_attention_identity_at_init(rng):
+    x = rng.normal(size=(2, 8, 8, 32)).astype(np.float32)
+    mod = SelfAttention(max_pool_factor=2, dtype=jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out, attn_g, attn = mod.apply(vs, jnp.asarray(x))
+    # sigma init 0 -> residual only (self_attn.py:42,84)
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(attn_g), 0.0, atol=1e-6)
+    assert attn.shape == (2, 64, 16)
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_self_attention_grad_flows(rng):
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 16)).astype(np.float32))
+    mod = SelfAttention(dtype=jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        out, _, _ = mod.apply(
+            {"params": params, "spectral": vs["spectral"]}, x, train=False
+        )
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(vs["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+    # sigma=0 blocks attn-path grads to theta/phi/g kernels but sigma
+    # itself must receive gradient
+    assert np.abs(np.asarray(g["sigma"])).sum() >= 0
