@@ -1,0 +1,206 @@
+"""Benchmark: GSSD++ training throughput on TPU vs PyTorch-CPU baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "slices/s", "vs_baseline": N}
+
+The metric is training slices/sec of the flagship GSSD++ (grouped VGG +
+fuse + dual self-attention + 4-group DCN) at batch 32, 300x300x12 input
+(the reference trains 512x512 CT resized to 300, batch 32 — README
+recipe). ``vs_baseline`` is the ratio to an equivalent PyTorch model's
+fwd+bwd throughput on this host's CPU (the reference stack is
+torch-only; no GPU exists here). The torch number is measured once and
+cached in BENCH_TORCH_BASELINE.json.
+
+Usage: python bench.py [--iters N] [--batch B] [--skip-torch]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_TORCH_BASELINE.json")
+
+
+def measure_torch_cpu(batch: int = 4, iters: int = 3) -> float:
+    """fwd+bwd slices/sec of an equivalent torch GSSD++ on CPU."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class TorchGSSDpp(nn.Module):
+        """Minimal torch twin of our flagship compute graph: grouped
+        VGG-300 trunk + extras + attention-ish 1x1 path + DCN-cost proxy
+        (a plain conv stands in for the CUDA DCN since that extension
+        does comparable FLOPs at equal channel counts)."""
+
+        def __init__(self):
+            super().__init__()
+            g = 4
+            plan1 = [64, 64, "M", 128, 128, "M", 256, 256, 256, "C",
+                     512, 512, 512]
+            layers, c = [], 12
+            for v in plan1:
+                if v in ("M", "C"):
+                    layers.append(nn.MaxPool2d(2, 2, ceil_mode=(v == "C")))
+                else:
+                    layers += [nn.Conv2d(c, v, 3, padding=1, groups=g),
+                               nn.BatchNorm2d(v), nn.ReLU(True)]
+                    c = v
+            self.stage1 = nn.Sequential(*layers)
+            self.sab = nn.ModuleList([
+                nn.Conv2d(512, 64, 1), nn.Conv2d(512, 64, 1),
+                nn.Conv2d(512, 256, 1), nn.Conv2d(256, 512, 1)])
+            self.dcn_offset = nn.Conv2d(1024, 108, 3, padding=1)
+            self.dcn_main = nn.Conv2d(1024, 512, 3, padding=1)
+            layers2, c = [], 512
+            for v in [512, 512, 512]:
+                layers2 += [nn.Conv2d(c, v, 3, padding=1, groups=g),
+                            nn.BatchNorm2d(v), nn.ReLU(True)]
+                c = v
+            layers2 += [nn.MaxPool2d(3, 1, padding=1),
+                        nn.Conv2d(512, 1024, 3, padding=6, dilation=6, groups=g),
+                        nn.BatchNorm2d(1024), nn.ReLU(True),
+                        nn.Conv2d(1024, 1024, 1, groups=g),
+                        nn.BatchNorm2d(1024), nn.ReLU(True)]
+            self.stage2 = nn.Sequential(nn.MaxPool2d(2, 2), *layers2)
+            ex = []
+            for cin, c1, c3, s, p in [(1024, 256, 512, 2, 1),
+                                      (512, 128, 256, 2, 1),
+                                      (256, 128, 256, 1, 0),
+                                      (256, 128, 256, 1, 0)]:
+                ex.append(nn.Sequential(
+                    nn.Conv2d(cin, c1, 1, groups=g), nn.BatchNorm2d(c1),
+                    nn.ReLU(True),
+                    nn.Conv2d(c1, c3, 3, stride=s, padding=p, groups=g),
+                    nn.BatchNorm2d(c3), nn.ReLU(True)))
+            self.extras = nn.ModuleList(ex)
+            chans = [512, 1024, 512, 256, 256, 256]
+            mbox = [4, 6, 6, 6, 4, 4]
+            self.fuse = nn.ModuleList(
+                [nn.Conv2d(cc, cc, 1) for cc in chans])
+            self.loc = nn.ModuleList(
+                [nn.Conv2d(cc, nb * 4, 3, padding=1)
+                 for cc, nb in zip(chans, mbox)])
+            self.conf = nn.ModuleList(
+                [nn.Conv2d(cc, nb * 2, 3, padding=1)
+                 for cc, nb in zip(chans, mbox)])
+
+        def forward(self, x):
+            x = self.stage1(x)
+            b, c, h, w = x.shape
+            th = self.sab[0](x).flatten(2)
+            ph = self.sab[1](x).flatten(2)
+            gg = self.sab[2](x).flatten(2)
+            attn = torch.softmax(torch.bmm(th.transpose(1, 2), ph), -1)
+            ag = torch.bmm(gg, attn.transpose(1, 2)).view(b, 256, h, w)
+            ag = self.sab[3](ag)
+            x = torch.cat([x, ag], 1)
+            _ = self.dcn_offset(x)
+            x = self.dcn_main(x)
+            srcs = [self.fuse[0](x)]
+            x = self.stage2(x)
+            srcs.append(self.fuse[1](x))
+            for i, blk in enumerate(self.extras):
+                x = blk(x)
+                srcs.append(self.fuse[i + 2](x))
+            locs = [l(s).permute(0, 2, 3, 1).reshape(b, -1, 4)
+                    for l, s in zip(self.loc, srcs)]
+            confs = [cf(s).permute(0, 2, 3, 1).reshape(b, -1, 2)
+                     for cf, s in zip(self.conf, srcs)]
+            return torch.cat(locs, 1), torch.cat(confs, 1)
+
+    net = TorchGSSDpp()
+    opt = torch.optim.SGD(net.parameters(), lr=1e-3, momentum=0.9)
+    x = torch.randn(batch, 12, 300, 300)
+    # warmup
+    loc, conf = net(x)
+    (loc.square().mean() + conf.square().mean()).backward()
+    opt.step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        opt.zero_grad()
+        loc, conf = net(x)
+        (loc.square().mean() + conf.square().mean()).backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_jax(batch: int, iters: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from gssd_tpu.config import LossConfig, OptimConfig
+    from gssd_tpu.models import build_model
+    from gssd_tpu.train import create_train_state, make_train_step
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    model, priors = build_model(cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, 300, 300, 12), jnp.float32), OptimConfig(),
+    )
+    step = jax.jit(make_train_step(model, priors, LossConfig(), OptimConfig()),
+                   donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "image": jnp.asarray(
+            rng.uniform(0, 1, (batch, 300, 300, 12)).astype(np.float32)),
+        "boxes": jnp.asarray(
+            np.tile(np.asarray([0.3, 0.3, 0.6, 0.6], np.float32),
+                    (batch, 1, 1))),
+        "labels": jnp.zeros((batch, 1), jnp.int32),
+        "valid": jnp.ones((batch, 1), bool),
+    }
+    # warmup / compile
+    state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--skip-torch", action="store_true")
+    args = ap.parse_args()
+
+    tpu_sps = measure_jax(args.batch, args.iters)
+
+    torch_sps = None
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            torch_sps = json.load(f).get("torch_cpu_slices_per_sec")
+    if torch_sps is None and not args.skip_torch:
+        torch_sps = measure_torch_cpu()
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"torch_cpu_slices_per_sec": torch_sps,
+                       "note": "GSSD++-equivalent fwd+bwd, batch 4, "
+                               f"{os.cpu_count()} cpu core(s)"}, f)
+    vs = tpu_sps / torch_sps if torch_sps else None
+
+    print(json.dumps({
+        "metric": "gssd++_train_slices_per_sec_b{}".format(args.batch),
+        "value": round(tpu_sps, 2),
+        "unit": "slices/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
