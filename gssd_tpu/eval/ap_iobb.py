@@ -1,0 +1,187 @@
+"""AP / IoBB evaluation harness.
+
+Same protocol as the reference's test_net (test_ap_iobb.py:231-328) with
+its make_pred collection loop (:70-225):
+
+1. run the detector in test mode over every eval image, keep class-1
+   detections with score > 0, scale boxes to original pixels, filter by
+   the confidence threshold;
+2. sort all detections by confidence (descending) across the dataset;
+3. for every (metric in {IoU, IoBB}) x (threshold in ap_list/iobb_list):
+   greedy TP/FP assignment — a detection is a TP if its best-overlap gt
+   in the same image clears the threshold and is not already claimed
+   (per-gt ``det`` dedup flags, :254-303); IoBB divides the intersection
+   by the *predicted* box area instead of the union (:273-278);
+4. precision/recall cumsums -> AP via the 11-point VOC-07 rule or exact
+   AUC (voc_ap, :10-41).
+
+The forward pass is batched through one jitted infer step (decode + NMS
+on device) rather than the reference's per-image host loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = False) -> float:
+    """VOC AP from recall/precision curves."""
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = prec[rec >= t].max() if (rec >= t).any() else 0.0
+            ap += p / 11.0
+        return float(ap)
+    mrec = np.concatenate([[0.0], rec, [1.0]])
+    mpre = np.concatenate([[0.0], prec, [0.0]])
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def _overlap(pred_box: np.ndarray, gts: np.ndarray, metric: str) -> np.ndarray:
+    """Overlap of one predicted box against [n, 4] gts (pixel coords)."""
+    ix1 = np.maximum(gts[:, 0], pred_box[0])
+    iy1 = np.maximum(gts[:, 1], pred_box[1])
+    ix2 = np.minimum(gts[:, 2], pred_box[2])
+    iy2 = np.minimum(gts[:, 3], pred_box[3])
+    iw = np.maximum(ix2 - ix1, 0.0)
+    ih = np.maximum(iy2 - iy1, 0.0)
+    inter = iw * ih
+    pred_area = (pred_box[2] - pred_box[0]) * (pred_box[3] - pred_box[1])
+    if metric == "iobb":
+        denom = pred_area
+    else:
+        gt_area = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+        denom = gt_area + pred_area - inter
+    return inter / np.maximum(denom, 1e-12)
+
+
+def evaluate_detections(
+    predictions: np.ndarray,
+    gt_boxes: Dict[int, np.ndarray],
+    threshold: float,
+    metric: str = "iou",
+    use_07_metric: bool = False,
+) -> float:
+    """AP of a detection set at one (metric, threshold).
+
+    Args:
+      predictions: [N, 6] rows (image_idx, score, x1, y1, x2, y2),
+        any order (sorted internally by score desc).
+      gt_boxes: image_idx -> [n, 4] pixel gt boxes.
+      metric: 'iou' or 'iobb'.
+    """
+    npos = sum(len(v) for v in gt_boxes.values())
+    if npos == 0:
+        return 0.0
+    if len(predictions) == 0:
+        return 0.0
+    order = np.argsort(-predictions[:, 1], kind="stable")
+    preds = predictions[order]
+    claimed = {k: np.zeros(len(v), bool) for k, v in gt_boxes.items()}
+    tp = np.zeros(len(preds))
+    fp = np.zeros(len(preds))
+    for i, row in enumerate(preds):
+        img = int(row[0])
+        gts = gt_boxes.get(img)
+        if gts is None or len(gts) == 0:
+            fp[i] = 1.0
+            continue
+        ov = _overlap(row[2:6], gts, metric)
+        j = int(np.argmax(ov))
+        if ov[j] > threshold and not claimed[img][j]:
+            tp[i] = 1.0
+            claimed[img][j] = True
+        else:
+            fp[i] = 1.0
+    tp_c = np.cumsum(tp)
+    fp_c = np.cumsum(fp)
+    rec = tp_c / npos
+    prec = tp_c / np.maximum(tp_c + fp_c, np.finfo(np.float64).eps)
+    return voc_ap(rec, prec, use_07_metric)
+
+
+def collect_predictions(
+    infer_fn: Callable[[np.ndarray], np.ndarray],
+    dataset,
+    transform,
+    conf_threshold: float = 0.2,
+    batch_size: int = 16,
+    class_idx: int = 1,
+) -> Tuple[np.ndarray, Dict[int, np.ndarray]]:
+    """Run the detector over a dataset; return (predictions, gt_boxes).
+
+    infer_fn maps a [B, H, W, 12] float batch -> [B, C, K, 5] detections
+    in normalized coords (score, x1, y1, x2, y2). Predictions are scaled
+    back to original pixel size (make_pred, test_ap_iobb.py:126-141) and
+    filtered at conf_threshold (:148).
+    """
+    n = len(dataset)
+    preds: List[np.ndarray] = []
+    gt_boxes: Dict[int, np.ndarray] = {}
+    images, sizes = [], []
+    for idx in range(n):
+        raw = dataset.pull_image(idx)  # [4, H, W, 3] 0..255
+        anno = dataset.pull_anno(idx)  # [m, 5] pixel boxes
+        gt_boxes[idx] = anno[:, :4].astype(np.float64)
+        x, _, _ = transform(raw)
+        p, h, w, c = x.shape
+        images.append(np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c))
+        sizes.append((raw.shape[2], raw.shape[1]))  # (W, H)
+
+    for start in range(0, n, batch_size):
+        chunk = images[start:start + batch_size]
+        pad = batch_size - len(chunk)
+        batch = np.stack(chunk + [chunk[-1]] * pad).astype(np.float32)
+        det = np.asarray(infer_fn(batch))  # [B, C, K, 5]
+        for bi in range(len(chunk)):
+            idx = start + bi
+            rows = det[bi, class_idx]  # [K, 5]
+            keep = rows[:, 0] > conf_threshold
+            rows = rows[keep]
+            if len(rows) == 0:
+                continue
+            W, H = sizes[idx]
+            out = np.empty((len(rows), 6))
+            out[:, 0] = idx
+            out[:, 1] = rows[:, 0]
+            out[:, 2] = rows[:, 1] * W
+            out[:, 3] = rows[:, 2] * H
+            out[:, 4] = rows[:, 3] * W
+            out[:, 5] = rows[:, 4] * H
+            preds.append(out)
+    all_preds = (
+        np.concatenate(preds) if preds else np.zeros((0, 6))
+    )
+    return all_preds, gt_boxes
+
+
+def run_detection_eval(
+    infer_fn,
+    dataset,
+    transform,
+    ap_list: Sequence[float] = (0.3, 0.5, 0.7),
+    iobb_list: Sequence[float] = (0.3, 0.5, 0.7),
+    conf_threshold: float = 0.2,
+    use_07_metric: bool = False,
+    batch_size: int = 16,
+) -> Dict[str, float]:
+    """Full sweep -> {'ap30': ..., 'ap50': ..., 'iobb30': ...} (the
+    reference's test_net_wrapper outputs, train v2.py:409-431)."""
+    preds, gts = collect_predictions(
+        infer_fn, dataset, transform, conf_threshold, batch_size
+    )
+    out = {}
+    for t in ap_list:
+        out[f"ap{int(round(t * 100))}"] = evaluate_detections(
+            preds, gts, t, "iou", use_07_metric
+        )
+    for t in iobb_list:
+        out[f"iobb{int(round(t * 100))}"] = evaluate_detections(
+            preds, gts, t, "iobb", use_07_metric
+        )
+    return out
