@@ -1,0 +1,327 @@
+#!/usr/bin/env python
+"""GSSD / GSSD++ training & evaluation harness (TPU-native).
+
+The rebuild of the reference CLI train_lesion_multiphase_v2.py: same
+public flag surface (ssd_type / use_self_attention / groups_dcn / ... ,
+v2.py:31-113), k-fold cross-validation, periodic valid/test AP-IoBB
+evaluation, checkpoint/resume, speedrun, and test-only mode — but the
+hot loop is one jitted program: all k folds advance as a vmapped fold
+axis, the batch is sharded data-parallel over the device mesh, and
+matching/OHNM/NMS never leave the device.
+
+Example (GSSD++):
+  python train.py --ssd_type gssd --batch_norm True --use_fuseconv True \
+      --use_self_attention True --use_self_attention_base True \
+      --num_dcn_layers 1 --groups_dcn 4 --dcn_cat_sab True \
+      --use_normalize True --datapath <ml_ready> --max_iter 60000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def str2bool(v):
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="gssd_tpu trainer")
+    # data
+    p.add_argument("--datapath", default="", type=str)
+    p.add_argument("--synthetic", default=False, type=str2bool,
+                   help="generate a synthetic ml_ready dataset in-place")
+    p.add_argument("--load_data_to_ram", default=False, type=str2bool)
+    p.add_argument("--num_workers", default=1, type=int)
+    p.add_argument("--means", default=0.0, type=float)
+    p.add_argument("--use_normalize", default=True, type=str2bool)
+    p.add_argument("--p_only", default=False, type=str2bool)
+    p.add_argument("--gt_pixel_jitter", default=0.01, type=float)
+    p.add_argument("--expand_ratio", default=1.5, type=float)
+    p.add_argument("--max_gt", default=16, type=int)
+    # model
+    p.add_argument("--ssd_type", default="gssd", choices=["gssd", "ssd"])
+    p.add_argument("--ssd_dim", default=300, type=int)
+    p.add_argument("--num_classes", default=2, type=int)
+    p.add_argument("--batch_norm", default=True, type=str2bool)
+    p.add_argument("--groups_vgg", default=4, type=int)
+    p.add_argument("--groups_extra", default=4, type=int)
+    p.add_argument("--feature_scale", default=1, type=int)
+    p.add_argument("--use_fuseconv", default=True, type=str2bool)
+    p.add_argument("--use_self_attention", default=False, type=str2bool)
+    p.add_argument("--use_self_attention_base", default=False, type=str2bool)
+    p.add_argument("--num_dcn_layers", default=0, type=int)
+    p.add_argument("--groups_dcn", default=1, type=int)
+    p.add_argument("--dcn_cat_sab", default=False, type=str2bool)
+    p.add_argument("--detach_sab", default=False, type=str2bool)
+    p.add_argument("--max_pool_factor", default=1, type=int)
+    p.add_argument("--compute_dtype", default="bfloat16", type=str)
+    p.add_argument("--dcn_impl", default="xla", choices=["xla", "pallas"])
+    # optimization
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--lr", "--learning-rate", default=5e-4, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight_decay", default=5e-4, type=float)
+    p.add_argument("--stepvalues", nargs="*", type=int, default=[5000, 8000])
+    p.add_argument("--gamma", default=0.1, type=float)
+    p.add_argument("--clip", default=None, type=float)
+    p.add_argument("--modify_dcn_lr", default=False, type=str2bool)
+    p.add_argument("--ohnm_neg_ratio", default=1, type=int)
+    p.add_argument("--jaccard_threshold", default=0.5, type=float)
+    # harness
+    p.add_argument("--max_iter", default=10001, type=int)
+    p.add_argument("--val_every", default=500, type=int)
+    p.add_argument("--speedrun", default=1, type=int)
+    p.add_argument("--cross_validation", default=1, type=int)
+    p.add_argument("--num_test_subjects", default=10, type=int)
+    p.add_argument("--start_iter", default=0, type=int)
+    p.add_argument("--resume", default=None, type=int,
+                   help="iteration to resume from")
+    p.add_argument("--seed", default=1111, type=int)
+    p.add_argument("--output", default="output", type=str)
+    p.add_argument("--model_name", default="gssd", type=str)
+    p.add_argument("--log_iters", default=True, type=str2bool)
+    # eval
+    p.add_argument("--test", default=False, type=str2bool)
+    p.add_argument("--checkpoint", default=None, type=int)
+    p.add_argument("--confidence_threshold", default=0.01, type=float)
+    p.add_argument("--use_07_metric", default=True, type=str2bool)
+    p.add_argument("--ap_list", default="0.5", type=str)
+    p.add_argument("--iobb_list", default="0.5", type=str)
+    p.add_argument("--visualize", default=False, type=str2bool)
+    p.add_argument("--eval_batch", default=16, type=int)
+    return p
+
+
+def model_config(args):
+    from gssd_tpu.config import ModelConfig
+
+    return ModelConfig(
+        ssd_type=args.ssd_type,
+        size=args.ssd_dim,
+        num_classes=args.num_classes,
+        batch_norm=args.batch_norm,
+        groups_vgg=args.groups_vgg,
+        groups_extra=args.groups_extra,
+        feature_scale=args.feature_scale,
+        use_fuseconv=args.use_fuseconv,
+        use_self_attention=args.use_self_attention,
+        use_self_attention_base=args.use_self_attention_base,
+        num_dcn_layers=args.num_dcn_layers,
+        groups_dcn=args.groups_dcn,
+        dcn_cat_sab=args.dcn_cat_sab,
+        detach_sab=args.detach_sab,
+        max_pool_factor=args.max_pool_factor,
+        compute_dtype=args.compute_dtype,
+        dcn_impl=args.dcn_impl,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gssd_tpu.config import DetectConfig, LossConfig, OptimConfig
+    from gssd_tpu.data import BaseTransform, DataSplitter, LesionDataset
+    from gssd_tpu.data.augment import SSDAugmentation
+    from gssd_tpu.data.dataset import BatchLoader
+    from gssd_tpu.eval import run_detection_eval
+    from gssd_tpu.models import build_model
+    from gssd_tpu.parallel.folds import stack_states, unstack_state, vmap_train_step
+    from gssd_tpu.train import create_train_state, make_train_step
+    from gssd_tpu.train.checkpoint import (
+        load_weights_partial,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from gssd_tpu.train.steps import make_eval_step, make_infer_step
+    from gssd_tpu.utils.logging import MetricsLogger
+
+    if args.synthetic and not args.datapath:
+        args.datapath = os.path.join(args.output, "synthetic_ml_ready")
+    if args.synthetic and not os.path.exists(
+        os.path.join(args.datapath, "metadata.txt")
+    ):
+        from gssd_tpu.data.synthetic import make_synthetic_dataset
+
+        print(f"generating synthetic dataset at {args.datapath}")
+        make_synthetic_dataset(args.datapath)
+
+    k = args.cross_validation
+    ap_list = [float(t) for t in args.ap_list.split(",")]
+    iobb_list = [float(t) for t in args.iobb_list.split(",")]
+
+    logger = MetricsLogger(os.path.join(args.output, "logs", args.model_name))
+    logger.log_args(vars(args))
+
+    mcfg = model_config(args)
+    loss_cfg = LossConfig(
+        num_classes=args.num_classes,
+        overlap_thresh=args.jaccard_threshold,
+        neg_pos_ratio=args.ohnm_neg_ratio,
+        max_gt_boxes=args.max_gt,
+    )
+    detect_cfg = DetectConfig(num_classes=args.num_classes)
+    optim_cfg = OptimConfig(
+        lr=args.lr,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        gamma=args.gamma,
+        stepvalues=tuple(args.stepvalues),
+        clip=args.clip,
+        modify_dcn_lr=args.modify_dcn_lr,
+    )
+
+    model, priors = build_model(mcfg)
+    splitter = DataSplitter(args.datapath, k, args.num_test_subjects)
+
+    base_tf = BaseTransform(
+        args.ssd_dim, args.means, args.p_only, args.use_normalize
+    )
+    test_set = LesionDataset(args.datapath, splitter.data_test)
+    valid_sets = [
+        LesionDataset(args.datapath, ids) for ids in splitter.data_cv_eval
+    ]
+
+    infer_step = jax.jit(make_infer_step(model, priors, detect_cfg))
+
+    def eval_fold(state, dataset, tag, iteration):
+        def infer_fn(batch):
+            return infer_step(state, jnp.asarray(batch))
+
+        res = run_detection_eval(
+            infer_fn, dataset, base_tf, ap_list, iobb_list,
+            args.confidence_threshold, args.use_07_metric, args.eval_batch,
+        )
+        logger.log_scalars(tag, iteration, res, file="test")
+        return res
+
+    ckpt_dir = os.path.join(args.output, "checkpoints")
+
+    if args.test:
+        assert args.checkpoint is not None, "--test requires --checkpoint"
+        results = []
+        for fold in range(k):
+            state = create_train_state(
+                model, jax.random.PRNGKey(args.seed),
+                jnp.zeros((1, args.ssd_dim, args.ssd_dim, mcfg.in_channels)),
+                optim_cfg,
+            )
+            state = load_weights_partial(
+                state, ckpt_dir, args.model_name, args.checkpoint, fold
+            )
+            res = eval_fold(state, test_set, f"test_ap_cv{fold}",
+                            args.checkpoint)
+            print(f"[fold {fold}] {res}")
+            results.append(res)
+        mean = {key: float(np.mean([r[key] for r in results]))
+                for key in results[0]}
+        print("test mean over folds:", json.dumps(mean))
+        return mean
+
+    # ---- training ------------------------------------------------------
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((1, args.ssd_dim, args.ssd_dim, mcfg.in_channels))
+    states = []
+    for fold in range(k):
+        fold_rng = jax.random.fold_in(rng, fold)
+        states.append(create_train_state(model, fold_rng, sample, optim_cfg))
+    start_iter = args.start_iter
+    if args.resume is not None:
+        states = [
+            restore_checkpoint(s, ckpt_dir, args.model_name, args.resume, i)
+            for i, s in enumerate(states)
+        ]
+        start_iter = args.resume
+        print(f"resumed from iteration {args.resume}")
+    stacked = stack_states(states)
+
+    aug = SSDAugmentation(
+        pixeljitter=args.gt_pixel_jitter,
+        ratio=args.expand_ratio,
+        size=args.ssd_dim,
+        mean=args.means,
+        use_normalize=args.use_normalize,
+        p_only=args.p_only,
+        seed=args.seed,
+    )
+    loaders = [
+        iter(BatchLoader(
+            LesionDataset(args.datapath, ids, transform=aug,
+                          load_to_ram=args.load_data_to_ram),
+            args.batch_size, args.max_gt, seed=args.seed + i,
+        ))
+        for i, ids in enumerate(splitter.data_cv_train)
+    ]
+    valid_loaders = [
+        iter(BatchLoader(
+            LesionDataset(args.datapath, ids, transform=base_tf),
+            args.batch_size, args.max_gt, seed=args.seed + 100 + i,
+        ))
+        for i, ids in enumerate(splitter.data_cv_eval)
+    ]
+
+    step_fn = make_train_step(model, priors, loss_cfg, optim_cfg)
+    train_step = jax.jit(vmap_train_step(step_fn), donate_argnums=(0,))
+    eval_step = jax.jit(jax.vmap(make_eval_step(model, priors, loss_cfg)))
+
+    def fold_batch(iters):
+        bs = [next(it) for it in iters]
+        return {key: np.stack([b[key] for b in bs]) for key in bs[0]}
+
+    t_start = time.perf_counter()
+    for iteration in range(start_iter, args.max_iter):
+        batch = fold_batch(loaders)
+        stacked, metrics = train_step(stacked, batch)
+
+        if args.log_iters and iteration % 10 == 0:
+            m = {key: float(np.mean(np.asarray(v)))
+                 for key, v in metrics.items()}
+            dt = time.perf_counter() - t_start
+            sps = args.batch_size * k * max(iteration - start_iter, 1) / dt
+            logger.log_scalars("loss", iteration, m)
+            print(f"iter {iteration}: loss={m['loss']:.4f} "
+                  f"(l={m['loss_l']:.4f} c={m['loss_c']:.4f}) "
+                  f"lr={m.get('lr', 0):.2e} {sps:.1f} slices/s")
+
+        last = iteration == args.max_iter - 1
+        if ((iteration % args.val_every == 0 and iteration > start_iter)
+                or last) and iteration >= args.speedrun:
+            vbatch = fold_batch(valid_loaders)
+            vm = eval_step(stacked, vbatch)
+            logger.log_scalars(
+                "eval_loss", iteration,
+                {key: float(np.mean(np.asarray(v))) for key, v in vm.items()},
+                file="valid",
+            )
+            ap_accum = []
+            for fold in range(k):
+                st = unstack_state(stacked, fold)
+                res_v = eval_fold(st, valid_sets[fold],
+                                  f"eval_ap_cv{fold}", iteration)
+                res_t = eval_fold(st, test_set, f"test_ap_cv{fold}",
+                                  iteration)
+                ap_accum.append((res_v, res_t))
+                save_checkpoint(st, ckpt_dir, args.model_name, iteration, fold)
+            mean_v = {key: float(np.mean([a[0][key] for a in ap_accum]))
+                      for key in ap_accum[0][0]}
+            mean_t = {key: float(np.mean([a[1][key] for a in ap_accum]))
+                      for key in ap_accum[0][1]}
+            logger.log_scalars("eval_ap", iteration, mean_v, file="valid")
+            logger.log_scalars("test_ap", iteration, mean_t, file="test")
+            print(f"iter {iteration} valid: {json.dumps(mean_v)}")
+            print(f"iter {iteration} test:  {json.dumps(mean_t)}")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
