@@ -116,6 +116,37 @@ def collate(
     }
 
 
+def collate_pixellink(
+    items: Sequence[Tuple[np.ndarray, np.ndarray, dict]],
+    max_gt: int = 16,
+) -> Dict[str, np.ndarray]:
+    """PixelLink variant: the transform returns a target dict with the
+    rasterized masks (reference detection_collate_v2_pixel_link,
+    data_custom_v2.py:399-434)."""
+    imgs, pm, npm, pw, lm, bs, ls, vs = [], [], [], [], [], [], [], []
+    for img, boxes, t in items:
+        p, h, w, c = img.shape
+        imgs.append(np.transpose(img, (1, 2, 0, 3)).reshape(h, w, p * c))
+        pm.append(t["pixel_mask"])
+        npm.append(t["neg_pixel_mask"])
+        pw.append(t["pixel_pos_weight"])
+        lm.append(t["link_mask"])
+        b, l, v = pad_targets(boxes, np.asarray(t["labels"]), max_gt)
+        bs.append(b)
+        ls.append(l)
+        vs.append(v)
+    return {
+        "image": np.stack(imgs).astype(np.float32),
+        "pixel_mask": np.stack(pm).astype(np.int32),
+        "neg_pixel_mask": np.stack(npm).astype(np.uint8),
+        "pixel_pos_weight": np.stack(pw).astype(np.float32),
+        "link_mask": np.stack(lm).astype(np.int32),
+        "boxes": np.stack(bs),
+        "labels": np.stack(ls),
+        "valid": np.stack(vs),
+    }
+
+
 class BatchLoader:
     """Shuffling, endlessly-repeating host batch iterator with a
     background prefetch thread (the reference uses torch DataLoader
@@ -129,11 +160,13 @@ class BatchLoader:
         seed: int = 1111,
         shuffle: bool = True,
         prefetch: int = 2,
+        collate_fn: Callable = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
         self.shuffle = shuffle
+        self.collate_fn = collate_fn or collate
         self.rng = np.random.default_rng(seed)
         self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -149,7 +182,7 @@ class BatchLoader:
         stream = self._index_stream()
         while True:
             items = [self.dataset[next(stream)] for _ in range(self.batch_size)]
-            self._queue.put(collate(items, self.max_gt))
+            self._queue.put(self.collate_fn(items, self.max_gt))
 
     def __iter__(self):
         if not self._started:

@@ -89,6 +89,64 @@ def make_eval_step(model, priors, loss_cfg: LossConfig) -> Callable:
     return eval_step
 
 
+def make_pixellink_train_step(model, plc, optim_cfg=None) -> Callable:
+    """PixelLink train step: forward + 2:1-weighted pixel/link loss
+    (pixellink trainer :228-245) + SGD update, one jitted program."""
+    from gssd_tpu.ops.pixellink_loss import pixellink_loss
+
+    def train_step(state: TrainState, batch):
+        targets = {
+            k: batch[k]
+            for k in ("pixel_mask", "neg_pixel_mask", "pixel_pos_weight",
+                      "link_mask")
+        }
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {
+                    "params": params,
+                    "batch_stats": state.batch_stats,
+                    "spectral": state.spectral,
+                },
+                batch["image"],
+                train=True,
+                mutable=["batch_stats", "spectral"],
+            )
+            loss, parts = pixellink_loss(
+                out["pixel"], out["link"], targets,
+                pixel_weight=plc.pixel_weight, link_weight=plc.link_weight,
+                neg_pos_ratio=plc.neg_pos_ratio,
+            )
+            return loss, (parts, mut)
+
+        (loss, (parts, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(
+            grads,
+            batch_stats=mut.get("batch_stats", state.batch_stats),
+            spectral=mut.get("spectral", state.spectral),
+        )
+        metrics = {"loss": loss, "grad_norm": optax_global_norm(grads),
+                   **parts}
+        if optim_cfg is not None:
+            metrics["lr"] = step_lr_schedule(optim_cfg)(state.step)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_pixellink_forward(model) -> Callable:
+    """Eval-mode forward returning (pixel_logits, link_logits) NHWC;
+    host-side mask_to_boxes decodes them."""
+
+    def forward(state: TrainState, images):
+        out = model.apply(state.variables(), images, train=False)
+        return out["pixel"], out["link"]
+
+    return forward
+
+
 def make_infer_step(model, priors, detect_cfg: DetectConfig) -> Callable:
     """Test-phase forward: softmax conf + decode + NMS on device,
     returning [B, C, top_k, 5] (the reference Detect output contract,
