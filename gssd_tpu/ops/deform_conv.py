@@ -185,7 +185,7 @@ class DCN(nn.Module):
         )
 
         if self.impl == "pallas":
-            from gssd_tpu.ops.pallas.deform_conv_kernel import (
+            from gssd_tpu.ops.pallas.deform_sample import (
                 deform_conv2d_pallas,
             )
 
