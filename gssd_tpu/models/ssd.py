@@ -49,15 +49,28 @@ from gssd_tpu.ops.layers import (
 VGG_STAGE1 = [64, 64, "M", 128, 128, "M", 256, 256, 256, "C", 512, 512, 512]
 VGG_STAGE2 = [512, 512, 512]  # conv5_x after an 'M'; then pool5/conv6/conv7
 
-# extras plan: (out_1x1, out_3x3, stride, padding) per block; sources are
-# each block's 3x3 output. Mirrors add_extras('300') semantics
-# (group model :463-490): two strided blocks then two valid 3x3 blocks.
-EXTRAS = [
-    (256, 512, 2, 1),
-    (128, 256, 2, 1),
-    (128, 256, 1, 0),
-    (128, 256, 1, 0),
-]
+# extras plan: (out_1x1, out_3x3, stride, padding, kernel) per block;
+# sources are each block's 3x3 output. Mirrors add_extras semantics
+# (group model :463-490): for 300, two strided blocks then two valid 3x3
+# blocks; for 512, four strided blocks plus a final 4x4 block taking
+# 2x2 -> 1x1 (ssd_multiphase_custom_512_group.py:356-364 — whose
+# original head wiring is vestigial/incomplete; this implements the
+# 7-source layout the v2_512 anchor config defines).
+EXTRAS = {
+    300: [
+        (256, 512, 2, 1, 3),
+        (128, 256, 2, 1, 3),
+        (128, 256, 1, 0, 3),
+        (128, 256, 1, 0, 3),
+    ],
+    512: [
+        (256, 512, 2, 1, 3),
+        (128, 256, 2, 1, 3),
+        (128, 256, 2, 1, 3),
+        (128, 256, 2, 1, 3),
+        (128, 256, 1, 1, 4),
+    ],
+}
 
 SOURCE_CHANNELS = [512, 1024, 512, 256, 256, 256]
 
@@ -177,9 +190,9 @@ class SSD(nn.Module):
         sources.append(s2)
 
         # ---- extras
-        for bi, (c1, c3, stride, pad) in enumerate(EXTRAS):
+        for bi, (c1, c3, stride, pad, kk) in enumerate(EXTRAS[cfg.size]):
             x = conv(c1, f"extra_{bi}_1", k=1, p=0, groups=cfg.groups_extra)(x, train)
-            x = conv(c3, f"extra_{bi}_3", k=3, s=stride, p=pad,
+            x = conv(c3, f"extra_{bi}_3", k=kk, s=stride, p=pad,
                      groups=cfg.groups_extra)(x, train)
             se = x
             if cfg.use_self_attention_base:
@@ -223,17 +236,32 @@ class SSD(nn.Module):
         return out
 
 
-def build_model(cfg: ModelConfig) -> Tuple[SSD, np.ndarray]:
+def build_model(cfg: ModelConfig):
     """Build the model plus its constant anchor table — the TPU analog
     of the reference's build_ssd(phase, ...) factory
-    (ssd_multiphase_custom_group.py:542-557)."""
-    if cfg.ssd_type not in ("ssd", "gssd"):
-        raise NotImplementedError(f"ssd_type={cfg.ssd_type!r} not yet built")
-    if cfg.ssd_type == "ssd":
-        import dataclasses
+    (ssd_multiphase_custom_group.py:542-557). ``ssd_type`` selects the
+    variant: ssd (ungrouped), gssd (grouped + fuse, the main model),
+    fssd / groupfssd (feature-fusion pyramid), fusedssd (deconv
+    conv5_3->conv4_3 fusion)."""
+    import dataclasses
 
+    if cfg.size == 512 and cfg.anchors == "v2":
+        cfg = dataclasses.replace(cfg, anchors="v2_512")
+    if cfg.ssd_type == "ssd":
         cfg = dataclasses.replace(
             cfg, groups_vgg=1, groups_extra=1, use_fuseconv=False
         )
     priors = make_anchors(cfg.anchor_config)
-    return SSD(cfg), priors
+    if cfg.ssd_type in ("ssd", "gssd"):
+        return SSD(cfg), priors
+    if cfg.ssd_type in ("fssd", "groupfssd"):
+        from gssd_tpu.models.fssd import FSSD
+
+        if cfg.ssd_type == "fssd":
+            cfg = dataclasses.replace(cfg, groups_vgg=1, groups_extra=1)
+        return FSSD(cfg), priors
+    if cfg.ssd_type == "fusedssd":
+        from gssd_tpu.models.fssd import FusedSSD
+
+        return FusedSSD(cfg), priors
+    raise NotImplementedError(f"ssd_type={cfg.ssd_type!r}")
