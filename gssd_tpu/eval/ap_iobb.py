@@ -160,6 +160,62 @@ def collect_predictions(
     return all_preds, gt_boxes
 
 
+def collect_predictions_pixellink(
+    forward_fn: Callable,
+    dataset,
+    transform,
+    conf_threshold: float = 0.2,
+    batch_size: int = 16,
+    img_size: int = 300,
+    pl_cfg=None,
+) -> Tuple[np.ndarray, Dict[int, np.ndarray]]:
+    """PixelLink eval path (use_pixel_link=True, test_ap_iobb.py:103-117):
+    forward -> (pixel, link) logit maps -> host union-find decode ->
+    prediction rows. forward_fn maps [B, H, W, 12] -> (pixel [B,h,w,2],
+    link [B,h,w,16])."""
+    from gssd_tpu.config import PixelLinkConfig
+    from gssd_tpu.eval.pixellink_decode import mask_to_boxes
+
+    pl_cfg = pl_cfg or PixelLinkConfig()
+    n = len(dataset)
+    preds: List[np.ndarray] = []
+    gt_boxes: Dict[int, np.ndarray] = {}
+    images, sizes = [], []
+    for idx in range(n):
+        raw = dataset.pull_image(idx)
+        anno = dataset.pull_anno(idx)
+        gt_boxes[idx] = anno[:, :4].astype(np.float64)
+        x, _, _ = transform(raw)
+        p, h, w, c = x.shape
+        images.append(np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c))
+        sizes.append((raw.shape[2], raw.shape[1]))
+
+    for start in range(0, n, batch_size):
+        chunk = images[start:start + batch_size]
+        pad = batch_size - len(chunk)
+        batch = np.stack(chunk + [chunk[-1]] * pad).astype(np.float32)
+        pix, lnk = forward_fn(batch)
+        pix, lnk = np.asarray(pix), np.asarray(lnk)
+        for bi in range(len(chunk)):
+            idx = start + bi
+            scores, boxes = mask_to_boxes(pix[bi], lnk[bi], img_size, pl_cfg)
+            keep = scores > conf_threshold
+            scores, boxes = scores[keep], boxes[keep]
+            if len(scores) == 0:
+                continue
+            W, H = sizes[idx]
+            out = np.empty((len(scores), 6))
+            out[:, 0] = idx
+            out[:, 1] = scores
+            out[:, 2] = boxes[:, 0] * W / img_size
+            out[:, 3] = boxes[:, 1] * H / img_size
+            out[:, 4] = boxes[:, 2] * W / img_size
+            out[:, 5] = boxes[:, 3] * H / img_size
+            preds.append(out)
+    all_preds = np.concatenate(preds) if preds else np.zeros((0, 6))
+    return all_preds, gt_boxes
+
+
 def run_detection_eval(
     infer_fn,
     dataset,
@@ -169,12 +225,21 @@ def run_detection_eval(
     conf_threshold: float = 0.2,
     use_07_metric: bool = False,
     batch_size: int = 16,
+    use_pixel_link: bool = False,
+    img_size: int = 300,
+    pl_cfg=None,
 ) -> Dict[str, float]:
     """Full sweep -> {'ap30': ..., 'ap50': ..., 'iobb30': ...} (the
     reference's test_net_wrapper outputs, train v2.py:409-431)."""
-    preds, gts = collect_predictions(
-        infer_fn, dataset, transform, conf_threshold, batch_size
-    )
+    if use_pixel_link:
+        preds, gts = collect_predictions_pixellink(
+            infer_fn, dataset, transform, conf_threshold, batch_size,
+            img_size, pl_cfg,
+        )
+    else:
+        preds, gts = collect_predictions(
+            infer_fn, dataset, transform, conf_threshold, batch_size
+        )
     out = {}
     for t in ap_list:
         out[f"ap{int(round(t * 100))}"] = evaluate_detections(

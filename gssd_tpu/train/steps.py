@@ -159,3 +159,19 @@ def make_infer_step(model, priors, detect_cfg: DetectConfig) -> Callable:
         return detect(out["loc"], conf, priors, detect_cfg)
 
     return infer_step
+
+
+def make_infer_step_with_aux(model, priors, detect_cfg: DetectConfig):
+    """--visualize variant: also returns the model's aux maps (DCN
+    offsets, attention) for the eval dump path (test_ap_iobb.py:156-179)."""
+    priors = jnp.asarray(priors)
+
+    def infer_step(state: TrainState, images: jnp.ndarray):
+        out = model.apply(state.variables(), images, train=False)
+        conf = jax.nn.softmax(out["conf"], axis=-1)
+        det = detect(out["loc"], conf, priors, detect_cfg)
+        aux = {k: out[k] for k in ("offsets", "attn", "attn_base")
+               if k in out}
+        return det, aux
+
+    return infer_step

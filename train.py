@@ -218,6 +218,36 @@ def main(argv=None):
             state = load_weights_partial(
                 state, ckpt_dir, args.model_name, args.checkpoint, fold
             )
+            if args.visualize and fold == 0:
+                from gssd_tpu.train.steps import make_infer_step_with_aux
+                from gssd_tpu.utils.visualize import dump_eval_visuals
+
+                vstep = jax.jit(
+                    make_infer_step_with_aux(model, priors, detect_cfg))
+                vdir = os.path.join(args.output, "visualize",
+                                    args.model_name)
+                for idx in range(len(test_set)):
+                    raw = test_set.pull_image(idx)
+                    anno = test_set.pull_anno(idx)
+                    x, _, _ = base_tf(raw)
+                    p, h, w, c = x.shape
+                    img = np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c)
+                    det, aux = vstep(state, jnp.asarray(img[None],
+                                                        jnp.float32))
+                    scale = args.ssd_dim / raw.shape[1]
+                    dump_eval_visuals(
+                        vdir, idx, img, anno[:, :4] * scale,
+                        np.asarray(det[0]),
+                        offsets=[np.asarray(o[0]) for o in
+                                 aux.get("offsets", [])] or None,
+                        attn=[np.asarray(a[0]) for a in
+                              aux.get("attn", [])] or None,
+                        attn_base=[np.asarray(a[0]) for a in
+                                   aux.get("attn_base", [])] or None,
+                        conf_threshold=args.confidence_threshold,
+                        image_size=args.ssd_dim,
+                    )
+                print(f"visualize dumps written to {vdir}")
             res = eval_fold(state, test_set, f"test_ap_cv{fold}",
                             args.checkpoint)
             print(f"[fold {fold}] {res}")
