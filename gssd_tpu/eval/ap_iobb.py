@@ -82,22 +82,57 @@ def evaluate_detections(
         return 0.0
     order = np.argsort(-predictions[:, 1], kind="stable")
     preds = predictions[order]
-    claimed = {k: np.zeros(len(v), bool) for k, v in gt_boxes.items()}
-    tp = np.zeros(len(preds))
-    fp = np.zeros(len(preds))
-    for i, row in enumerate(preds):
-        img = int(row[0])
-        gts = gt_boxes.get(img)
-        if gts is None or len(gts) == 0:
-            fp[i] = 1.0
-            continue
-        ov = _overlap(row[2:6], gts, metric)
-        j = int(np.argmax(ov))
-        if ov[j] > threshold and not claimed[img][j]:
-            tp[i] = 1.0
-            claimed[img][j] = True
-        else:
-            fp[i] = 1.0
+
+    tp = fp = None
+    from gssd_tpu.native import load_native
+
+    lib = load_native()
+    if lib is not None and hasattr(lib, "eval_sweep"):
+        import ctypes
+
+        keys = sorted(gt_boxes)
+        remap = {k: i for i, k in enumerate(keys)}
+        offsets = np.zeros(len(keys) + 1, np.int64)
+        for i, k in enumerate(keys):
+            offsets[i + 1] = offsets[i] + len(gt_boxes[k])
+        flat_gt = (
+            np.concatenate([np.asarray(gt_boxes[k], np.float64)
+                            for k in keys])
+            if offsets[-1] else np.zeros((0, 4))
+        )
+        p = np.ascontiguousarray(preds, np.float64)
+        p[:, 0] = [remap.get(int(v), -1) for v in preds[:, 0]]
+        tp8 = np.zeros(len(p), np.uint8)
+        fp8 = np.zeros(len(p), np.uint8)
+        lib.eval_sweep(
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(p),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(keys),
+            np.ascontiguousarray(flat_gt, np.float64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            float(threshold), 1 if metric == "iobb" else 0,
+            tp8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            fp8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        tp, fp = tp8.astype(np.float64), fp8.astype(np.float64)
+
+    if tp is None:  # numpy fallback, identical semantics
+        claimed = {k: np.zeros(len(v), bool) for k, v in gt_boxes.items()}
+        tp = np.zeros(len(preds))
+        fp = np.zeros(len(preds))
+        for i, row in enumerate(preds):
+            img = int(row[0])
+            gts = gt_boxes.get(img)
+            if gts is None or len(gts) == 0:
+                fp[i] = 1.0
+                continue
+            ov = _overlap(row[2:6], gts, metric)
+            j = int(np.argmax(ov))
+            if ov[j] > threshold and not claimed[img][j]:
+                tp[i] = 1.0
+                claimed[img][j] = True
+            else:
+                fp[i] = 1.0
     tp_c = np.cumsum(tp)
     fp_c = np.cumsum(fp)
     rec = tp_c / npos

@@ -71,5 +71,13 @@ def load_native() -> Optional[ctypes.CDLL]:
         ]
         if hasattr(lib, "eval_sweep"):
             lib.eval_sweep.restype = None
+            lib.eval_sweep.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
         _LIB = lib
         return _LIB

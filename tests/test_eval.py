@@ -96,3 +96,33 @@ def test_run_eval_with_oracle_detector(tmp_path):
     assert res["ap50"] == 1.0
     assert res["iobb50"] == 1.0
     assert set(res) == {"ap30", "ap50", "ap70", "iobb30", "iobb50", "iobb70"}
+
+
+def test_native_sweep_matches_numpy(rng, monkeypatch):
+    """The C++ eval_sweep must produce identical AP to the numpy path."""
+    gts = {}
+    preds = []
+    for img in range(6):
+        n = int(rng.integers(1, 4))
+        xy = rng.uniform(0, 200, (n, 2))
+        wh = rng.uniform(20, 80, (n, 2))
+        gts[img] = np.concatenate([xy, xy + wh], 1)
+        for j in range(n + 1):
+            jit = rng.normal(0, 15, 4)
+            base = gts[img][min(j, n - 1)]
+            preds.append([img, rng.uniform(0.1, 1.0), *(base + jit)])
+    preds = np.asarray(preds)
+
+    results_native = [
+        evaluate_detections(preds, gts, t, m)
+        for t in (0.3, 0.5, 0.7) for m in ("iou", "iobb")
+    ]
+    import gssd_tpu.eval.ap_iobb as mod
+    import gssd_tpu.native as native_mod
+
+    monkeypatch.setattr("gssd_tpu.native.load_native", lambda: None)
+    results_numpy = [
+        evaluate_detections(preds, gts, t, m)
+        for t in (0.3, 0.5, 0.7) for m in ("iou", "iobb")
+    ]
+    np.testing.assert_allclose(results_native, results_numpy, atol=1e-12)
