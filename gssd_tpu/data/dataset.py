@@ -162,6 +162,8 @@ class BatchLoader:
         prefetch: int = 2,
         collate_fn: Callable = None,
     ):
+        if len(dataset) == 0:
+            raise ValueError("BatchLoader over an empty dataset")
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt

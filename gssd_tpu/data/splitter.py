@@ -34,6 +34,11 @@ class DataSplitter:
         self.entries = entries
 
         subjects = sorted({s for _, s in entries})
+        if num_test_subject >= len(subjects):
+            raise ValueError(
+                f"num_test_subject={num_test_subject} leaves no training "
+                f"subjects (dataset has {len(subjects)})"
+            )
         self.subjects_train = subjects[:-num_test_subject]
         self.subjects_test = subjects[-num_test_subject:]
 
@@ -42,6 +47,12 @@ class DataSplitter:
             divider = n // cross_validation
         else:
             divider = int(n * 0.2)
+        if divider < 1:
+            raise ValueError(
+                f"{n} training subjects cannot form {cross_validation} "
+                "cross-validation fold(s) with a non-empty eval split; "
+                "lower num_test_subject or cross_validation"
+            )
 
         self.subjects_cv_eval: List[List[str]] = []
         self.subjects_cv_train: List[List[str]] = []

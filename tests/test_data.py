@@ -81,3 +81,39 @@ def test_load_to_ram(synth_dir):
     ds = LesionDataset(synth_dir, sp.data_train[:3], load_to_ram=True)
     img, boxes, labels = ds[0]
     assert img.shape[0] == 4
+
+
+def test_splitter_guards(synth_dir):
+    with pytest.raises(ValueError):
+        DataSplitter(synth_dir, cross_validation=1, num_test_subject=14)
+    with pytest.raises(ValueError):
+        # 14 subjects, 12 test -> 2 train, 20% of 2 = 0 eval
+        DataSplitter(synth_dir, cross_validation=1, num_test_subject=12)
+
+
+def test_empty_loader_rejected(synth_dir):
+    sp = DataSplitter(synth_dir, cross_validation=2, num_test_subject=4)
+    ds = LesionDataset(synth_dir, [])
+    with pytest.raises(ValueError):
+        BatchLoader(ds, batch_size=2)
+
+
+def test_h5_legacy_dataset(tmp_path, rng):
+    import h5py
+
+    from gssd_tpu.data.legacy_h5 import H5LesionDataset
+
+    path = str(tmp_path / "legacy.h5")
+    cts = rng.uniform(0, 1, (3, 4, 3, 64, 64)).astype(np.float32)
+    labels = np.tile(np.array([10, 12, 40, 44, 0], np.float32), (3, 1, 1))
+    with h5py.File(path, "w") as f:
+        f.create_group("ct").create_dataset("ct_0", data=cts)
+        f.create_group("label").create_dataset("coordinate_0", data=labels)
+    ds = H5LesionDataset(path)
+    assert len(ds) == 3
+    img = ds.pull_image(0)
+    assert img.shape == (4, 64, 64, 3) and img.max() > 1.5
+    anno = ds.pull_anno(1)
+    assert anno.shape == (1, 5)
+    item_img, boxes, lab = ds[0]
+    assert 0 <= boxes.min() and boxes.max() <= 1
