@@ -7,6 +7,7 @@
 // metric 0 = IoU (intersection / union), 1 = IoBB (intersection /
 // predicted-box area, :273-278).
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 

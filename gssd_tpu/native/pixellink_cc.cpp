@@ -10,6 +10,7 @@
 //
 // Build: g++ -O2 -shared -fPIC pixellink_cc.cpp -o libgssd_native.so
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 

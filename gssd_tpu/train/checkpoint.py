@@ -77,7 +77,15 @@ def load_weights_partial(
     is the eval-time / warm-start path."""
     path = _ckpt_dir(save_folder, model_name, iteration, fold)
     with ocp.PyTreeCheckpointer() as ckptr:
-        stored = ckptr.restore(path)
+        # restore as host numpy so checkpoints written on one backend
+        # (TPU) load on another (CPU) without sharding metadata
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
+        )
+        stored = ckptr.restore(
+            path, ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
 
     def merge(section: str, target):
         src = stored.get(section)

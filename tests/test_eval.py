@@ -69,7 +69,7 @@ def test_run_eval_with_oracle_detector(tmp_path):
     """Feed an oracle infer_fn that returns each image's true boxes; the
     full pipeline (transform, scaling, sweep) must give AP 1.0."""
     d = str(tmp_path / "ml")
-    make_synthetic_dataset(d, num_subjects=3, slices_per_subject=2,
+    make_synthetic_dataset(d, num_subjects=6, slices_per_subject=1,
                            image_size=128)
     from gssd_tpu.data import DataSplitter
 
