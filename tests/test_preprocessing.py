@@ -93,9 +93,9 @@ def test_volume_to_samples_and_builder(tmp_path, rng):
 
     # full builder -> loadable by the training data stack
     out = str(tmp_path / "ml")
-    subjects = {f"s{i:02d}": (phases, mask) for i in range(4)}
+    subjects = {f"s{i:02d}": (phases, mask) for i in range(8)}
     lines = build_dataset(out, subjects)
-    assert len(lines) == 8
+    assert len(lines) == 16
     sp = DataSplitter(out, cross_validation=1, num_test_subject=2)
     ds = LesionDataset(out, sp.data_train)
     img, b, l = ds[0]
