@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import threading
 import queue as queue_mod
-from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -144,6 +144,29 @@ def collate_pixellink(
         "boxes": np.stack(bs),
         "labels": np.stack(ls),
         "valid": np.stack(vs),
+    }
+
+
+def collate_raw(
+    items: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    max_gt: int = 16,
+) -> Dict[str, Any]:
+    """Raw collate for the on-device augmentation path: stacks untouched
+    source-resolution images and keeps per-item normalized boxes for the
+    host-side geometry sampler (data/augment_device.py)."""
+    imgs, bl, ll = [], [], []
+    for img, boxes, labels in items:
+        p, h, w, c = img.shape
+        imgs.append(np.transpose(img, (1, 2, 0, 3)).reshape(h, w, p * c))
+        bl.append(np.asarray(boxes, np.float32))
+        ll.append(np.asarray(labels))
+    # uint8 transfer: 4x less host->device traffic; the device warp
+    # dequantizes (source data is 0..255 anyway)
+    raw = np.clip(np.stack(imgs), 0, 255).astype(np.uint8)
+    return {
+        "raw_image": raw,
+        "boxes_list": bl,
+        "labels_list": ll,
     }
 
 

@@ -45,6 +45,11 @@ def build_parser():
     p.add_argument("--gt_pixel_jitter", default=0.01, type=float)
     p.add_argument("--expand_ratio", default=1.5, type=float)
     p.add_argument("--max_gt", default=16, type=int)
+    p.add_argument("--aug_method", default="host",
+                   choices=["host", "vanilla", "device"],
+                   help="'host'/'vanilla' = numpy pipeline; 'device' = "
+                        "jitted on-TPU warp (revival of the reference's "
+                        "deprecated CUDA augmentation)")
     # model
     p.add_argument("--ssd_type", default="gssd", choices=["gssd", "ssd"])
     p.add_argument("--ssd_dim", default=300, type=int)
@@ -274,23 +279,49 @@ def main(argv=None):
         print(f"resumed from iteration {args.resume}")
     stacked = stack_states(states)
 
-    aug = SSDAugmentation(
-        pixeljitter=args.gt_pixel_jitter,
-        ratio=args.expand_ratio,
-        size=args.ssd_dim,
-        mean=args.means,
-        use_normalize=args.use_normalize,
-        p_only=args.p_only,
-        seed=args.seed,
-    )
-    loaders = [
-        iter(BatchLoader(
-            LesionDataset(args.datapath, ids, transform=aug,
-                          load_to_ram=args.load_data_to_ram),
-            args.batch_size, args.max_gt, seed=args.seed + i,
-        ))
-        for i, ids in enumerate(splitter.data_cv_train)
-    ]
+    device_aug = None
+    if args.aug_method == "device":
+        from gssd_tpu.data.augment_device import DeviceAugmentation
+        from gssd_tpu.data.dataset import collate_raw
+
+        probe = LesionDataset(args.datapath, splitter.data_train[:1])
+        src_size = probe.pull_image(0).shape[1]
+        device_aug = [
+            DeviceAugmentation(
+                size=args.ssd_dim, src_size=src_size,
+                pixeljitter=args.gt_pixel_jitter, ratio=args.expand_ratio,
+                mean=args.means, use_normalize=args.use_normalize,
+                seed=args.seed + i, max_gt=args.max_gt,
+            )
+            for i in range(k)
+        ]
+        loaders = [
+            iter(BatchLoader(
+                LesionDataset(args.datapath, ids,
+                              load_to_ram=args.load_data_to_ram),
+                args.batch_size, args.max_gt, seed=args.seed + i,
+                collate_fn=collate_raw,
+            ))
+            for i, ids in enumerate(splitter.data_cv_train)
+        ]
+    else:
+        aug = SSDAugmentation(
+            pixeljitter=args.gt_pixel_jitter,
+            ratio=args.expand_ratio,
+            size=args.ssd_dim,
+            mean=args.means,
+            use_normalize=args.use_normalize,
+            p_only=args.p_only,
+            seed=args.seed,
+        )
+        loaders = [
+            iter(BatchLoader(
+                LesionDataset(args.datapath, ids, transform=aug,
+                              load_to_ram=args.load_data_to_ram),
+                args.batch_size, args.max_gt, seed=args.seed + i,
+            ))
+            for i, ids in enumerate(splitter.data_cv_train)
+        ]
     valid_loaders = [
         iter(BatchLoader(
             LesionDataset(args.datapath, ids, transform=base_tf),
@@ -303,13 +334,23 @@ def main(argv=None):
     train_step = jax.jit(vmap_train_step(step_fn), donate_argnums=(0,))
     eval_step = jax.jit(jax.vmap(make_eval_step(model, priors, loss_cfg)))
 
-    def fold_batch(iters):
+    def fold_batch(iters, augs=None):
         bs = [next(it) for it in iters]
+        if augs is not None:
+            bs = [
+                augs[i](b["raw_image"], b["boxes_list"], b["labels_list"])
+                for i, b in enumerate(bs)
+            ]
+            return {
+                key: (jnp.stack([b[key] for b in bs]) if key == "image"
+                      else np.stack([b[key] for b in bs]))
+                for key in bs[0]
+            }
         return {key: np.stack([b[key] for b in bs]) for key in bs[0]}
 
     t_start = time.perf_counter()
     for iteration in range(start_iter, args.max_iter):
-        batch = fold_batch(loaders)
+        batch = fold_batch(loaders, device_aug)
         stacked, metrics = train_step(stacked, batch)
 
         if args.log_iters and iteration % 10 == 0:
