@@ -45,3 +45,35 @@ def shard_train_step(
         out_shardings=(replicated, replicated),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_fold_mesh(n_folds: int, n_data: Optional[int] = None) -> Mesh:
+    """2-axis mesh ('fold', 'data'): cross-validation folds are
+    embarrassingly parallel, so they shard across chips with zero
+    communication while each fold's batch still data-parallelizes over
+    the remaining axis — the reference's round-robin CV loop
+    (train v2.py:596-628) mapped onto the hardware topology."""
+    devs = jax.devices()
+    n_data = n_data or len(devs) // n_folds
+    assert n_folds * n_data <= len(devs), (
+        f"need {n_folds}x{n_data} devices, have {len(devs)}"
+    )
+    grid = np.asarray(devs[: n_folds * n_data]).reshape(n_folds, n_data)
+    return Mesh(grid, ("fold", "data"))
+
+
+def shard_fold_train_step(
+    vmapped_step: Callable, mesh: Mesh, donate: bool = True
+) -> Callable:
+    """jit a vmapped fold step over a ('fold', 'data') mesh: stacked
+    fold states shard on 'fold' (leading axis of every leaf), fold
+    batches shard on ('fold', 'data')."""
+    fold_state = NamedSharding(mesh, P("fold"))
+    fold_batch = NamedSharding(mesh, P("fold", "data"))
+    fold_metrics = NamedSharding(mesh, P("fold"))
+    return jax.jit(
+        vmapped_step,
+        in_shardings=(fold_state, fold_batch),
+        out_shardings=(fold_state, fold_metrics),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -119,3 +119,32 @@ def test_vmapped_folds(mini, rng):
             jax.tree_util.tree_leaves(got.params),
         ):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_fold_sharded_mesh(mini, rng):
+    """2-axis ('fold', 'data') mesh: 2 folds x 4 data shards must equal
+    the unsharded vmapped step."""
+    from gssd_tpu.parallel.mesh import make_fold_mesh, shard_fold_train_step
+
+    model, priors, state, step = mini
+    k = 2
+    stacked = stack_states([state] * k)
+    batches = [mini_batch(rng, 4) for _ in range(k)]
+    fold_batch = {
+        key: np.stack([b[key] for b in batches]) for key in batches[0]
+    }
+    ref_stacked, ref_metrics = jax.jit(vmap_train_step(step))(
+        stacked, fold_batch)
+
+    mesh = make_fold_mesh(n_folds=2, n_data=4)
+    pstep = shard_fold_train_step(vmap_train_step(step), mesh, donate=False)
+    got_stacked, got_metrics = pstep(stacked, fold_batch)
+    np.testing.assert_allclose(
+        np.asarray(got_metrics["loss"]), np.asarray(ref_metrics["loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_stacked.params),
+        jax.tree_util.tree_leaves(got_stacked.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
