@@ -348,16 +348,20 @@ def main(argv=None):
             }
         return {key: np.stack([b[key] for b in bs]) for key in bs[0]}
 
-    t_start = time.perf_counter()
+    t_start = None  # set after the first (compile) step
     for iteration in range(start_iter, args.max_iter):
         batch = fold_batch(loaders, device_aug)
         stacked, metrics = train_step(stacked, batch)
+        if t_start is None:
+            jax.block_until_ready(metrics["loss"])
+            t_start = time.perf_counter()
+            t_iters = iteration
 
         if args.log_iters and iteration % 10 == 0:
             m = {key: float(np.mean(np.asarray(v)))
                  for key, v in metrics.items()}
-            dt = time.perf_counter() - t_start
-            sps = args.batch_size * k * max(iteration - start_iter, 1) / dt
+            dt = max(time.perf_counter() - t_start, 1e-6)
+            sps = args.batch_size * k * max(iteration - t_iters, 1) / dt
             logger.log_scalars("loss", iteration, m)
             print(f"iter {iteration}: loss={m['loss']:.4f} "
                   f"(l={m['loss_l']:.4f} c={m['loss_c']:.4f}) "
