@@ -36,6 +36,14 @@ class AnchorConfig:
     @property
     def num_priors_per_cell(self) -> Tuple[int, ...]:
         """Boxes per feature-map cell per scale (the reference 'mbox')."""
+        if self.name == "v1":
+            # legacy v1 branch (prior_box.py:141-167): min square,
+            # sqrt(min*max) square only when max > 0, one box per ar != 1
+            return tuple(
+                1 + (1 if mx > 0 else 0)
+                + sum(1 for ar in ars if abs(ar - 1) >= 1e-6)
+                for ars, mx in zip(self.aspect_ratios, self.max_sizes)
+            )
         return tuple(2 + 2 * len(ars) for ars in self.aspect_ratios)
 
     @property
@@ -86,9 +94,26 @@ V2_CUSTOM_512 = dataclasses.replace(
     aspect_ratios=((2, 3), (2, 3), (2, 3), (2, 3), (2, 3), (2,), (2,)),
 )
 
+V1 = AnchorConfig(
+    name="v1",
+    feature_maps=(38, 19, 10, 5, 3, 1),
+    min_dim=300,
+    steps=(8, 16, 32, 64, 100, 300),
+    min_sizes=(30, 60, 114, 168, 222, 276),
+    max_sizes=(-1, 114, 168, 222, 276, 330),
+    aspect_ratios=(
+        (1, 1, 2, 1 / 2),
+        (1, 1, 2, 1 / 2, 3, 1 / 3),
+        (1, 1, 2, 1 / 2, 3, 1 / 3),
+        (1, 1, 2, 1 / 2, 3, 1 / 3),
+        (1, 1, 2, 1 / 2, 3, 1 / 3),
+        (1, 1, 2, 1 / 2, 3, 1 / 3),
+    ),
+)
+
 ANCHOR_CONFIGS = {
     c.name: c
-    for c in (V2, V2_CUSTOM, V2_CUSTOM_SQUAREONLY, V2_512, V2_CUSTOM_512)
+    for c in (V2, V2_CUSTOM, V2_CUSTOM_SQUAREONLY, V2_512, V2_CUSTOM_512, V1)
 }
 
 

@@ -29,6 +29,19 @@ from gssd_tpu.config import ANCHOR_CONFIGS, AnchorConfig
 
 def _cell_boxes(cfg: AnchorConfig, k: int) -> np.ndarray:
     """The (w, h) menu for one cell of scale k: [n_box, 2]."""
+    if cfg.name == "v1":
+        # legacy branch (prior_box.py:141-167): no sqrt box when
+        # max_size <= 0, rectangles only for ar != 1
+        s = cfg.min_sizes[k] / cfg.min_dim
+        wh = [(s, s)]
+        if cfg.max_sizes[k] > 0:
+            sp = math.sqrt(cfg.min_sizes[k] * cfg.max_sizes[k]) / cfg.min_dim
+            wh.append((sp, sp))
+        for ar in cfg.aspect_ratios[k]:
+            if abs(ar - 1) >= 1e-6:
+                r = math.sqrt(ar)
+                wh.append((s * r, s / r))
+        return np.asarray(wh, dtype=np.float64)
     s_k = cfg.min_sizes[k] / cfg.min_dim
     s_k_prime = math.sqrt(s_k * (cfg.max_sizes[k] / cfg.min_dim))
     wh = [(s_k, s_k), (s_k_prime, s_k_prime)]
@@ -49,7 +62,9 @@ def make_anchors(cfg: Union[str, AnchorConfig] = "v2") -> np.ndarray:
         cfg = ANCHOR_CONFIGS[cfg]
     scales = []
     for k, f in enumerate(cfg.feature_maps):
-        f_k = cfg.min_dim / cfg.steps[k]
+        # legacy v1 centers use the feature-map size itself as the
+        # divisor (prior_box.py:142 step = image_size / k)
+        f_k = float(f) if cfg.name == "v1" else cfg.min_dim / cfg.steps[k]
         ij = np.arange(f, dtype=np.float64)
         # row-major (i, j) product: cy varies slowest
         cy, cx = np.meshgrid(ij, ij, indexing="ij")

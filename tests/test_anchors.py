@@ -40,7 +40,9 @@ def brute_force_anchors(cfg):
     return arr.astype(np.float32)
 
 
-@pytest.mark.parametrize("name", sorted(ANCHOR_CONFIGS))
+@pytest.mark.parametrize(
+    "name", sorted(n for n in ANCHOR_CONFIGS if n != "v1")
+)  # v1 follows the legacy formula, covered by test_v1_legacy_counts
 def test_matches_brute_force(name):
     cfg = ANCHOR_CONFIGS[name]
     got = make_anchors(name)
@@ -75,3 +77,16 @@ def test_v2_spot_values():
 def test_square_only_variants_are_square():
     a = make_anchors("v2_custom")
     np.testing.assert_allclose(a[:, 2], a[:, 3], atol=1e-7)
+
+
+def test_v1_legacy_counts():
+    from gssd_tpu.config import V1
+
+    a = make_anchors("v1")
+    # per-cell: k=0 has no max box -> 1 + 2 rect; others 2 + 4 rect
+    assert V1.num_priors_per_cell == (3, 6, 6, 6, 6, 6)
+    assert a.shape == (V1.num_priors, 4)
+    # first cell: center (0.5/38), min square 30/300
+    np.testing.assert_allclose(a[0], [0.5 / 38, 0.5 / 38, 0.1, 0.1],
+                               atol=1e-7)
+    assert (a >= 0).all() and (a <= 1).all()
