@@ -103,7 +103,10 @@ def make_optimizer(cfg: OptimConfig, params=None) -> optax.GradientTransformatio
 def create_train_state(
     model, rng, sample_input, optim_cfg: OptimConfig
 ) -> TrainState:
-    variables = model.init(rng, sample_input, train=False)
+    # jit the init: eager op-by-op construction of the full detector is
+    # minutes on a slow host, compiled it is seconds
+    init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = init_fn(rng, sample_input)
     params = variables["params"]
     tx = make_optimizer(optim_cfg, params)
     return TrainState(
