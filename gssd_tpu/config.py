@@ -148,8 +148,11 @@ class ModelConfig:
     anchors: str = "v2"
     # compute dtype for conv/matmul activations; params stay f32
     compute_dtype: str = "bfloat16"
-    # 'xla' reference path or 'pallas' kernel for the deformable conv core
-    dcn_impl: str = "xla"
+    # deformable-conv core: 'fused' (default; patch-gather fwd +
+    # analytic offset grads + Pallas matmul dx — 1.75x the 'xla' path on
+    # v5e), 'xla' (4-corner gather, exact f32 grads), or 'pallas'
+    # (hat-matrix MXU sampler end to end)
+    dcn_impl: str = "fused"
 
     def __post_init__(self):
         if self.detach_sab and not self.dcn_cat_sab:

@@ -71,6 +71,50 @@ def _bilinear_gather_group(
     return top * (1 - wy1) + bot * wy1
 
 
+def _patch_gather_group(
+    x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
+) -> jnp.ndarray:
+    """2x2-window variant of the bilinear sampler: one lax.gather of
+    [2, 2, C] patches per group instead of four corner gathers (and one
+    scatter instead of four in the backward). x: [H, W, C] one group's
+    channels; py/px: [P] sample coords. Returns [P, C]."""
+    H, W, C = x.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = (py - y0)[:, None]
+    wx = (px - x0)[:, None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    ys = jnp.clip(y0i, 0, H - 2)
+    xs = jnp.clip(x0i, 0, W - 2)
+    starts = jnp.stack([ys, xs], axis=1)  # [P, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    patch = jax.lax.gather(
+        x, starts, dnums, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [P, 2, 2, C]
+
+    def corner(dy, dx):
+        # select within the 2x2 patch by arithmetic (elementwise, no
+        # secondary gather): row/col offsets are 0 or 1
+        ri = (jnp.clip(y0i + dy - ys, 0, 1) == 1)[:, None]
+        ci = (jnp.clip(x0i + dx - xs, 0, 1) == 1)[:, None]
+        row0 = jnp.where(ci, patch[:, 0, 1], patch[:, 0, 0])
+        row1 = jnp.where(ci, patch[:, 1, 1], patch[:, 1, 0])
+        vals = jnp.where(ri, row1, row0)  # [P, C]
+        inb = ((y0i + dy >= 0) & (y0i + dy < H)
+               & (x0i + dx >= 0) & (x0i + dx < W))
+        return jnp.where(inb[:, None], vals, 0)
+
+    top = corner(0, 0) * (1 - wx) + corner(0, 1) * wx
+    bot = corner(1, 0) * (1 - wx) + corner(1, 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
 def deform_conv2d(
     x: jnp.ndarray,
     offset_y: jnp.ndarray,
@@ -127,6 +171,59 @@ def deform_conv2d(
         mask.astype(compute_dtype),
     )
     return out + bias.astype(compute_dtype)
+
+
+def deform_conv2d_patch(
+    x: jnp.ndarray,
+    offset_y: jnp.ndarray,
+    offset_x: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Same contract as deform_conv2d but sampling via single 2x2-patch
+    gathers (one gather fwd / one scatter bwd per tap-group instead of
+    four)."""
+    B, H, W, C = x.shape
+    K = weight.shape[0]
+    kh = kw = int(round(K ** 0.5))
+    G = mask.shape[3]
+    Cg = C // G
+    Ho, Wo = mask.shape[1], mask.shape[2]
+    P = Ho * Wo
+
+    base_y = (jnp.arange(Ho, dtype=jnp.float32) * stride - padding)[:, None]
+    base_x = (jnp.arange(Wo, dtype=jnp.float32) * stride - padding)[None, :]
+    xg = x.reshape(B, H, W, G, Cg)
+    dt = x.dtype
+
+    def one_image(xi, oy, ox, mi):
+        # xi: [H, W, G, Cg]; oy/ox/mi: [Ho, Wo, G, K]
+        acc = None
+        for k in range(K):
+            u, v = divmod(k, kw)
+            parts = []
+            for g in range(G):
+                py = (base_y + u * dilation + oy[..., g, k]).reshape(P)
+                px = (base_x + v * dilation + ox[..., g, k]).reshape(P)
+                s = _patch_gather_group(
+                    xi[:, :, g], py.astype(jnp.float32),
+                    px.astype(jnp.float32),
+                )
+                parts.append(s * mi[..., g, k].reshape(P, 1).astype(s.dtype))
+            sampled = jnp.concatenate(parts, axis=-1)  # [P, C]
+            tap = sampled @ weight[k].astype(dt)
+            acc = tap if acc is None else acc + tap
+        return acc.reshape(Ho, Wo, -1)
+
+    out = jax.vmap(one_image)(
+        xg, offset_y.astype(jnp.float32), offset_x.astype(jnp.float32),
+        mask.astype(jnp.float32),
+    )
+    return out + bias.astype(dt)
 
 
 class DCN(nn.Module):
@@ -189,16 +286,17 @@ class DCN(nn.Module):
                 deform_conv2d_pallas,
             )
 
-            out = deform_conv2d_pallas(
-                x, dy, dx, m, weight, bias,
-                stride=self.stride, padding=self.padding,
-                dilation=self.dilation,
-            )
+            fn = deform_conv2d_pallas
+        elif self.impl == "fused":
+            from gssd_tpu.ops.deform_fused import deform_conv2d_fused
+
+            fn = deform_conv2d_fused
         else:
-            out = deform_conv2d(
-                x, dy, dx, m, weight, bias,
-                stride=self.stride, padding=self.padding,
-                dilation=self.dilation,
-            )
+            fn = deform_conv2d
+        out = fn(
+            x, dy, dx, m, weight, bias,
+            stride=self.stride, padding=self.padding,
+            dilation=self.dilation,
+        )
         offsets = jnp.stack([dy, dx], axis=-1)
         return out, offsets

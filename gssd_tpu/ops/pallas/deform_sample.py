@@ -173,6 +173,34 @@ def _abx_fwd(A, B, xg):
     return _abx_fwd_impl(A, B, xg), (A, B, xg)
 
 
+def _abx_bwd_dx(A, B, g):
+    """dx of the abx contraction: A [N,G,P,H], B [N,G,P,W],
+    g (=dsampled) [N,G,P,Cg] -> [N,G,H,W,Cg] f32. Transposed MXU
+    contraction accumulated across p-tiles — no scatter."""
+    N, G, P, H = A.shape
+    W = B.shape[3]
+    Cg = g.shape[3]
+    TP = min(DEFAULT_TP, P)
+    Ap = _pad_p(A, TP).astype(jnp.bfloat16)
+    Bp = _pad_p(B, TP).astype(jnp.bfloat16)
+    gp = _pad_p(g, TP).astype(jnp.bfloat16)
+    Pp = Ap.shape[2]
+    return pl.pallas_call(
+        _dx_kernel,
+        grid=(N, G, Pp // TP),
+        in_specs=[
+            pl.BlockSpec((1, 1, TP, H), lambda n, gg, t: (n, gg, t, 0)),
+            pl.BlockSpec((1, 1, TP, W), lambda n, gg, t: (n, gg, t, 0)),
+            pl.BlockSpec((1, 1, TP, Cg), lambda n, gg, t: (n, gg, t, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, H, W, Cg), lambda n, gg, t: (n, gg, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, G, H, W, Cg), jnp.float32),
+        interpret=_interpret(),
+    )(Ap, Bp, gp)
+
+
 def _abx_bwd(res, g):
     A, B, xg = res
     N, G, P, H = A.shape
@@ -186,20 +214,7 @@ def _abx_bwd(res, g):
     grid = (N, G, Pp // TP)
     xb = xg.astype(jnp.bfloat16)
 
-    dxg = pl.pallas_call(
-        _dx_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, TP, H), lambda n, gg, t: (n, gg, t, 0)),
-            pl.BlockSpec((1, 1, TP, W), lambda n, gg, t: (n, gg, t, 0)),
-            pl.BlockSpec((1, 1, TP, Cg), lambda n, gg, t: (n, gg, t, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, H, W, Cg), lambda n, gg, t: (n, gg, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((N, G, H, W, Cg), jnp.float32),
-        interpret=_interpret(),
-    )(Ap, Bp, gp)
+    dxg = _abx_bwd_dx(A, B, g)
 
     xtb = jnp.swapaxes(xb, 2, 3)  # [N, G, W, H, Cg]
     da, db = pl.pallas_call(

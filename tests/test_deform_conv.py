@@ -125,3 +125,27 @@ def test_dcn_module_zero_init_is_plain_conv(rng):
     ) * 0.5 + np.asarray(vs["params"]["bias"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_patch_variant_matches_reference(rng):
+    from gssd_tpu.ops.deform_conv import deform_conv2d_patch
+
+    args = _rand_inputs(rng)
+    got = np.asarray(deform_conv2d_patch(*(jnp.asarray(a) for a in args)))
+    want = numpy_deform_conv(*args)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_patch_variant_gradients(rng):
+    from gssd_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_patch
+
+    args = tuple(jnp.asarray(a) for a in _rand_inputs(rng, H=4, W=4))
+
+    def loss(impl):
+        return lambda *a: jnp.sum(impl(*a) ** 2)
+
+    g1 = jax.grad(loss(deform_conv2d), argnums=(0, 1, 2, 3, 4))(*args)
+    g2 = jax.grad(loss(deform_conv2d_patch), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)

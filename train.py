@@ -67,7 +67,7 @@ def build_parser():
     p.add_argument("--detach_sab", default=False, type=str2bool)
     p.add_argument("--max_pool_factor", default=1, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
-    p.add_argument("--dcn_impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--dcn_impl", default="fused", choices=["xla", "pallas", "fused"])
     # optimization
     p.add_argument("--batch_size", default=16, type=int)
     p.add_argument("--lr", "--learning-rate", default=5e-4, type=float)

@@ -48,7 +48,7 @@ def build_parser():
     p.add_argument("--vgg_groups", default=4, type=int)
     p.add_argument("--feature_scale", default=1, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
-    p.add_argument("--dcn_impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--dcn_impl", default="fused", choices=["xla", "pallas", "fused"])
     p.add_argument("--pixel_weight", default=2.0, type=float)
     p.add_argument("--link_weight", default=1.0, type=float)
     p.add_argument("--neg_pos_ratio", default=3, type=int)
