@@ -51,7 +51,8 @@ def build_parser():
                         "jitted on-TPU warp (revival of the reference's "
                         "deprecated CUDA augmentation)")
     # model
-    p.add_argument("--ssd_type", default="gssd", choices=["gssd", "ssd"])
+    p.add_argument("--ssd_type", default="gssd",
+                   choices=["gssd", "ssd", "fssd", "groupfssd", "fusedssd"])
     p.add_argument("--ssd_dim", default=300, type=int)
     p.add_argument("--num_classes", default=2, type=int)
     p.add_argument("--batch_norm", default=True, type=str2bool)
