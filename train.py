@@ -371,6 +371,10 @@ def main(argv=None):
         last = iteration == args.max_iter - 1
         if ((iteration % args.val_every == 0 and iteration > start_iter)
                 or last) and iteration >= args.speedrun:
+            # NOTE: if the runtime dies here with "TPU worker process
+            # crashed", the eval compile exceeded worker memory on top
+            # of the live training state — lower --eval_batch /
+            # --batch_size (see STATUS.md #6)
             vbatch = fold_batch(valid_loaders)
             vm = eval_step(stacked, vbatch)
             logger.log_scalars(
