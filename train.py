@@ -335,6 +335,29 @@ def main(argv=None):
     train_step = jax.jit(vmap_train_step(step_fn), donate_argnums=(0,))
     eval_step = jax.jit(jax.vmap(make_eval_step(model, priors, loss_cfg)))
 
+    # Compile the eval/infer executables up front, while worker memory
+    # is uncontended — compiling them mid-session on top of the live
+    # (donated) training state can exceed worker memory for the larger
+    # models (STATUS.md #6).
+    if args.val_every <= args.max_iter and args.speedrun <= args.max_iter:
+        warm = {
+            "image": np.zeros(
+                (k, args.batch_size, args.ssd_dim, args.ssd_dim,
+                 mcfg.in_channels), np.float32),
+            "boxes": np.tile(
+                np.asarray([0.3, 0.3, 0.6, 0.6], np.float32),
+                (k, args.batch_size, args.max_gt, 1)),
+            "labels": np.zeros((k, args.batch_size, args.max_gt), np.int32),
+            "valid": np.ones((k, args.batch_size, args.max_gt), bool),
+        }
+        jax.block_until_ready(eval_step(stacked, warm)["loss"])
+        jax.block_until_ready(infer_step(
+            unstack_state(stacked, 0),
+            jnp.zeros((args.eval_batch, args.ssd_dim, args.ssd_dim,
+                       mcfg.in_channels), jnp.float32),
+        ))
+        print("eval executables warmed")
+
     def fold_batch(iters, augs=None):
         bs = [next(it) for it in iters]
         if augs is not None:
