@@ -102,6 +102,8 @@ def build_parser():
     p.add_argument("--iobb_list", default="0.5", type=str)
     p.add_argument("--visualize", default=False, type=str2bool)
     p.add_argument("--eval_batch", default=16, type=int)
+    p.add_argument("--warmup_eval", default=False, type=str2bool,
+                   help="pre-compile eval/infer executables at startup")
     return p
 
 
@@ -335,11 +337,12 @@ def main(argv=None):
     train_step = jax.jit(vmap_train_step(step_fn), donate_argnums=(0,))
     eval_step = jax.jit(jax.vmap(make_eval_step(model, priors, loss_cfg)))
 
-    # Compile the eval/infer executables up front, while worker memory
-    # is uncontended — compiling them mid-session on top of the live
-    # (donated) training state can exceed worker memory for the larger
-    # models (STATUS.md #6).
-    if args.val_every <= args.max_iter and args.speedrun <= args.max_iter:
+    # Optionally compile the eval/infer executables up front. Off by
+    # default: on the tunneled axon worker, executing eval graphs built
+    # against a pre-donation state correlated with worker crashes
+    # (STATUS.md #6); on healthy hosts it simply front-loads compiles.
+    if args.warmup_eval and (args.val_every <= args.max_iter
+                             and args.speedrun <= args.max_iter):
         warm = {
             "image": np.zeros(
                 (k, args.batch_size, args.ssd_dim, args.ssd_dim,
