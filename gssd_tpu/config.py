@@ -145,6 +145,11 @@ class ModelConfig:
     dcn_cat_sab: bool = False
     detach_sab: bool = False
     max_pool_factor: int = 1
+    # rematerialize (jax.checkpoint) the self-attention blocks in the
+    # backward pass. The reference only checkpoints PixelLink attention
+    # (pixel_link/model.py:203), so this is off by default for SSD and
+    # exposed as a memory/compute trade-off flag.
+    remat_attention: bool = False
     anchors: str = "v2"
     # compute dtype for conv/matmul activations; params stay f32
     compute_dtype: str = "bfloat16"
@@ -159,6 +164,11 @@ class ModelConfig:
             raise ValueError("detach_sab requires dcn_cat_sab=True")
         if self.dcn_cat_sab and not self.use_self_attention_base:
             raise ValueError("dcn_cat_sab requires use_self_attention_base=True")
+        if self.dcn_cat_sab and self.num_dcn_layers <= 0:
+            # the slice_and_cat concat exists only to feed the DCN
+            # (group model :267-271); without a DCN it would silently
+            # build a 768-ch map the reference never has
+            raise ValueError("dcn_cat_sab requires num_dcn_layers > 0")
 
     @property
     def in_channels(self) -> int:
@@ -266,6 +276,10 @@ class PixelLinkConfig:
     dcn_cat_sab: bool = False
     detach_sab: bool = False
     max_pool_factor: int = 1
+    # reference wraps every PixelLink Self_Attn call in
+    # torch.utils.checkpoint (pixel_link/model.py:203,216,...,296):
+    # rematerialized by default here too
+    remat_attention: bool = True
 
     @property
     def scale_factor(self) -> int:

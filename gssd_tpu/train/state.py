@@ -79,25 +79,31 @@ def make_optimizer(cfg: OptimConfig, params=None) -> optax.GradientTransformatio
             optax.trace(decay=cfg.momentum, nesterov=False),
             optax.scale_by_learning_rate(schedule),
         ]
-        if cfg.clip is not None:
-            parts.insert(0, optax.clip_by_global_norm(cfg.clip))
         if lr_scale != 1.0:
             parts.append(optax.scale(lr_scale))
         return optax.chain(*parts)
 
     if not cfg.modify_dcn_lr:
-        return chain()
+        tx = chain()
+    else:
+        # x0.1 LR for everything under a dcn_* module (v2.py:603-622);
+        # the scale applies to the final update, matching torch's
+        # per-group lr
+        def label_fn(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: "dcn" if _is_dcn_path(p) else "rest", tree
+            )
 
-    # x0.1 LR for everything under a dcn_* module (v2.py:603-622);
-    # the scale applies to the final update, matching torch's per-group lr
-    def label_fn(tree):
-        return jax.tree_util.tree_map_with_path(
-            lambda p, _: "dcn" if _is_dcn_path(p) else "rest", tree
+        tx = optax.multi_transform(
+            {"rest": chain(), "dcn": chain(0.1)}, label_fn
         )
 
-    return optax.multi_transform(
-        {"rest": chain(), "dcn": chain(0.1)}, label_fn
-    )
+    if cfg.clip is not None:
+        # clip on the *global* norm over all params, before any per-group
+        # transform — matches torch clip_grad_norm_(net.parameters())
+        # (train v2.py:250-252), which torch computes across all groups
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip), tx)
+    return tx
 
 
 def create_train_state(

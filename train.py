@@ -69,19 +69,21 @@ def build_parser():
     p.add_argument("--max_pool_factor", default=1, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
     p.add_argument("--dcn_impl", default="fused", choices=["xla", "pallas", "fused"])
-    # optimization
-    p.add_argument("--batch_size", default=16, type=int)
-    p.add_argument("--lr", "--learning-rate", default=5e-4, type=float)
+    # optimization — defaults are the published recipe (README.md:51-90:
+    # batch 32, 60k iters, lr 1e-3 x0.1 @ 30k/50k, OHNM 3:1)
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--lr", "--learning-rate", default=1e-3, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
     p.add_argument("--weight_decay", default=5e-4, type=float)
-    p.add_argument("--stepvalues", nargs="*", type=int, default=[5000, 8000])
+    p.add_argument("--stepvalues", nargs="*", type=int,
+                   default=[30000, 50000])
     p.add_argument("--gamma", default=0.1, type=float)
     p.add_argument("--clip", default=None, type=float)
     p.add_argument("--modify_dcn_lr", default=False, type=str2bool)
-    p.add_argument("--ohnm_neg_ratio", default=1, type=int)
+    p.add_argument("--ohnm_neg_ratio", default=3, type=int)
     p.add_argument("--jaccard_threshold", default=0.5, type=float)
     # harness
-    p.add_argument("--max_iter", default=10001, type=int)
+    p.add_argument("--max_iter", default=60000, type=int)
     p.add_argument("--val_every", default=500, type=int)
     p.add_argument("--speedrun", default=1, type=int)
     p.add_argument("--cross_validation", default=1, type=int)
@@ -96,15 +98,59 @@ def build_parser():
     # eval
     p.add_argument("--test", default=False, type=str2bool)
     p.add_argument("--checkpoint", default=None, type=int)
-    p.add_argument("--confidence_threshold", default=0.01, type=float)
-    p.add_argument("--use_07_metric", default=True, type=str2bool)
-    p.add_argument("--ap_list", default="0.5", type=str)
-    p.add_argument("--iobb_list", default="0.5", type=str)
+    p.add_argument("--confidence_threshold", default=0.2, type=float)
+    p.add_argument("--use_07_metric", default=False, type=str2bool)
+    p.add_argument("--ap_list", default="0.3,0.5,0.7", type=str)
+    p.add_argument("--iobb_list", default="0.3,0.5,0.7", type=str)
     p.add_argument("--visualize", default=False, type=str2bool)
     p.add_argument("--eval_batch", default=16, type=int)
     p.add_argument("--warmup_eval", default=False, type=str2bool,
                    help="pre-compile eval/infer executables at startup")
+    p.add_argument("--reference_recipe", default=None,
+                   choices=["gssd", "gssd++"],
+                   help="preset the full published training command "
+                        "(README.md:51-90); explicit flags still override")
     return p
+
+
+# Published training commands, verbatim flag sets (reference README.md:51-90).
+REFERENCE_RECIPES = {
+    "gssd": dict(
+        ssd_type="gssd", use_normalize=True,
+        use_self_attention=False, use_self_attention_base=False,
+        num_dcn_layers=0, dcn_cat_sab=False,
+        batch_size=32, max_iter=60000, stepvalues=[30000, 50000],
+        gamma=0.1, lr=1e-3, gt_pixel_jitter=0.0, speedrun=4999,
+        ohnm_neg_ratio=3, cross_validation=1,
+        use_07_metric=False, confidence_threshold=0.2,
+        ap_list="0.3,0.5,0.7", iobb_list="0.3,0.5,0.7",
+        model_name="GSSD",
+    ),
+    "gssd++": dict(
+        ssd_type="gssd", use_normalize=True,
+        use_self_attention=True, use_self_attention_base=True,
+        groups_dcn=4, num_dcn_layers=1, dcn_cat_sab=True,
+        modify_dcn_lr=True,
+        batch_size=32, max_iter=60000, stepvalues=[30000, 50000],
+        gamma=0.1, lr=1e-3, gt_pixel_jitter=0.0, speedrun=4999,
+        ohnm_neg_ratio=3, cross_validation=1,
+        use_07_metric=False, confidence_threshold=0.2,
+        ap_list="0.3,0.5,0.7", iobb_list="0.3,0.5,0.7",
+        model_name="GSSD_plusplus",
+    ),
+}
+
+
+def parse_args(argv=None):
+    """Two-pass parse: if --reference_recipe is given, install the
+    published flag set as defaults, then re-parse so anything the user
+    typed explicitly still wins."""
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.reference_recipe is not None:
+        parser.set_defaults(**REFERENCE_RECIPES[args.reference_recipe])
+        args = parser.parse_args(argv)
+    return args
 
 
 def model_config(args):
@@ -132,7 +178,7 @@ def model_config(args):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    args = parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -205,11 +251,19 @@ def main(argv=None):
         def infer_fn(batch):
             return infer_step(state, jnp.asarray(batch))
 
+        sink = {}
         res = run_detection_eval(
             infer_fn, dataset, base_tf, ap_list, iobb_list,
             args.confidence_threshold, args.use_07_metric, args.eval_batch,
+            score_sink=sink,
         )
         logger.log_scalars(tag, iteration, res, file="test")
+        # detection-score histograms pre/post confidence filter
+        # (reference test_ap_iobb.py:201-207)
+        logger.log_histogram(f"{tag}/scores_raw", iteration,
+                             sink.get("raw", []))
+        logger.log_histogram(f"{tag}/scores_filtered", iteration,
+                             sink.get("filtered", []))
         return res
 
     ckpt_dir = os.path.join(args.output, "checkpoints")
@@ -308,18 +362,25 @@ def main(argv=None):
             for i, ids in enumerate(splitter.data_cv_train)
         ]
     else:
-        aug = SSDAugmentation(
-            pixeljitter=args.gt_pixel_jitter,
-            ratio=args.expand_ratio,
-            size=args.ssd_dim,
-            mean=args.means,
-            use_normalize=args.use_normalize,
-            p_only=args.p_only,
-            seed=args.seed,
-        )
+        # one augmentation pipeline (and numpy Generator) per fold: each
+        # BatchLoader prefetches on its own thread, and numpy Generators
+        # are not thread-safe, so sharing one across folds would corrupt
+        # the seeded streams (mirrors the DeviceAugmentation path above)
+        augs = [
+            SSDAugmentation(
+                pixeljitter=args.gt_pixel_jitter,
+                ratio=args.expand_ratio,
+                size=args.ssd_dim,
+                mean=args.means,
+                use_normalize=args.use_normalize,
+                p_only=args.p_only,
+                seed=args.seed + i,
+            )
+            for i in range(k)
+        ]
         loaders = [
             iter(BatchLoader(
-                LesionDataset(args.datapath, ids, transform=aug,
+                LesionDataset(args.datapath, ids, transform=augs[i],
                               load_to_ram=args.load_data_to_ram),
                 args.batch_size, args.max_gt, seed=args.seed + i,
             ))
@@ -393,6 +454,17 @@ def main(argv=None):
             print(f"iter {iteration}: loss={m['loss']:.4f} "
                   f"(l={m['loss_l']:.4f} c={m['loss_c']:.4f}) "
                   f"lr={m.get('lr', 0):.2e} {sps:.1f} slices/s")
+
+        if iteration % 100 == 0 and logger.tb is not None:
+            # input-image grid with gt boxes, fold 0 (train v2.py:294-298)
+            from gssd_tpu.utils.visualize import input_grid_with_boxes
+
+            panel = input_grid_with_boxes(
+                np.asarray(batch["image"][0]),
+                np.asarray(batch["boxes"][0]),
+                np.asarray(batch["valid"][0]),
+            )
+            logger.log_image("inputs/train_fold0", iteration, panel)
 
         last = iteration == args.max_iter - 1
         if ((iteration % args.val_every == 0 and iteration > start_iter)

@@ -45,6 +45,10 @@ def build_parser():
     p.add_argument("--dcn_cat_sab", default=False, type=str2bool)
     p.add_argument("--detach_sab", default=False, type=str2bool)
     p.add_argument("--max_pool_factor", default=1, type=int)
+    p.add_argument("--remat_attention", default=True, type=str2bool,
+                   help="jax.checkpoint the attention blocks (reference "
+                        "wraps every PixelLink Self_Attn in "
+                        "torch.utils.checkpoint, model.py:203)")
     p.add_argument("--vgg_groups", default=4, type=int)
     p.add_argument("--feature_scale", default=1, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
@@ -77,6 +81,9 @@ def build_parser():
     p.add_argument("--ap_list", default="0.5", type=str)
     p.add_argument("--iobb_list", default="0.5", type=str)
     p.add_argument("--eval_batch", default=16, type=int)
+    p.add_argument("--visualize", default=False, type=str2bool,
+                   help="with --test: dump x/annotation/attention/offset "
+                        "npys + detection jpgs (test_ap_iobb.py:156-179)")
     return p
 
 
@@ -100,6 +107,7 @@ def main(argv=None):
         save_checkpoint,
     )
     from gssd_tpu.train.steps import (
+        make_pixellink_eval_step,
         make_pixellink_forward,
         make_pixellink_train_step,
     )
@@ -136,6 +144,7 @@ def main(argv=None):
         dcn_cat_sab=args.dcn_cat_sab,
         detach_sab=args.detach_sab,
         max_pool_factor=args.max_pool_factor,
+        remat_attention=args.remat_attention,
     )
     optim_cfg = OptimConfig(
         lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
@@ -177,6 +186,48 @@ def main(argv=None):
                 model, jax.random.PRNGKey(args.seed), sample, optim_cfg)
             state = load_weights_partial(
                 state, ckpt_dir, args.model_name, args.checkpoint, fold)
+            if args.visualize and fold == 0:
+                from gssd_tpu.eval.pixellink_decode import mask_to_boxes
+                from gssd_tpu.train.steps import (
+                    make_pixellink_forward_with_aux,
+                )
+                from gssd_tpu.utils.visualize import dump_eval_visuals
+
+                vfwd = jax.jit(make_pixellink_forward_with_aux(model))
+                vdir = os.path.join(args.output, "visualize",
+                                    args.model_name)
+                for idx in range(len(test_set)):
+                    raw = test_set.pull_image(idx)
+                    anno = test_set.pull_anno(idx)
+                    x, _, _ = base_tf(raw)
+                    p_, h, w, c = x.shape
+                    img = np.transpose(x, (1, 2, 0, 3)).reshape(
+                        h, w, p_ * c)
+                    pix, lnk, aux = vfwd(
+                        state, jnp.asarray(img[None], jnp.float32))
+                    scores, boxes = mask_to_boxes(
+                        np.asarray(pix[0]), np.asarray(lnk[0]),
+                        args.ssd_dim, plc)
+                    # pack decoded boxes into the Detect [C, K, 5]
+                    # contract (normalized) so the dump path is shared
+                    det = np.zeros((2, max(len(scores), 1), 5),
+                                   np.float32)
+                    if len(scores):
+                        det[1, :, 0] = scores
+                        det[1, :, 1:] = boxes / args.ssd_dim
+                    scale = args.ssd_dim / raw.shape[1]
+                    dump_eval_visuals(
+                        vdir, idx, img, anno[:, :4] * scale, det,
+                        offsets=[np.asarray(o[0]) for o in
+                                 aux.get("offsets", [])] or None,
+                        attn=[np.asarray(a[0]) for a in
+                              aux.get("attn", [])] or None,
+                        attn_base=[np.asarray(a[0]) for a in
+                                   aux.get("attn_base", [])] or None,
+                        conf_threshold=args.confidence_threshold,
+                        image_size=args.ssd_dim,
+                    )
+                print(f"visualize dumps written to {vdir}")
             res = eval_fold(state, test_set, f"test_ap_cv{fold}",
                             args.checkpoint)
             print(f"[fold {fold}] {res}")
@@ -201,16 +252,22 @@ def main(argv=None):
         start_iter = args.resume
     stacked = stack_states(states)
 
-    aug = SSDAugmentation(
-        pixeljitter=args.gt_pixel_jitter, ratio=args.expand_ratio,
-        size=args.ssd_dim, mean=args.means,
-        use_normalize=args.use_normalize, p_only=args.p_only,
-        seed=args.seed, pixel_link_size=args.ssd_dim,
-        pixel_link_version=args.version,
-    )
+    # one augmentation pipeline (one numpy Generator) per fold: each
+    # BatchLoader prefetch thread mutates its own RNG (thread-safety +
+    # reproducibility; see train.py)
+    augs = [
+        SSDAugmentation(
+            pixeljitter=args.gt_pixel_jitter, ratio=args.expand_ratio,
+            size=args.ssd_dim, mean=args.means,
+            use_normalize=args.use_normalize, p_only=args.p_only,
+            seed=args.seed + i, pixel_link_size=args.ssd_dim,
+            pixel_link_version=args.version,
+        )
+        for i in range(k)
+    ]
     loaders = [
         iter(BatchLoader(
-            LesionDataset(args.datapath, ids, transform=aug,
+            LesionDataset(args.datapath, ids, transform=augs[i],
                           load_to_ram=args.load_data_to_ram),
             args.batch_size, args.max_gt, seed=args.seed + i,
             collate_fn=collate_pixellink,
@@ -218,8 +275,30 @@ def main(argv=None):
         for i, ids in enumerate(splitter.data_cv_train)
     ]
 
+    # valid-loss loaders: augmentation transform so the pixel/link
+    # target maps are generated (reference valid loop :290-321 feeds the
+    # cv_valid DataLoader through the same collate)
+    valid_augs = [
+        SSDAugmentation(
+            pixeljitter=0.0, ratio=args.expand_ratio, size=args.ssd_dim,
+            mean=args.means, use_normalize=args.use_normalize,
+            p_only=args.p_only, seed=args.seed + 100 + i,
+            pixel_link_size=args.ssd_dim, pixel_link_version=args.version,
+        )
+        for i in range(k)
+    ]
+    valid_loaders = [
+        iter(BatchLoader(
+            LesionDataset(args.datapath, ids, transform=valid_augs[i]),
+            args.batch_size, args.max_gt, seed=args.seed + 100 + i,
+            collate_fn=collate_pixellink,
+        ))
+        for i, ids in enumerate(splitter.data_cv_eval)
+    ]
+
     step_fn = make_pixellink_train_step(model, plc, optim_cfg)
     train_step = jax.jit(vmap_train_step(step_fn), donate_argnums=(0,))
+    eval_step = jax.jit(jax.vmap(make_pixellink_eval_step(model, plc)))
 
     def fold_batch(iters):
         bs = [next(it) for it in iters]
@@ -238,6 +317,14 @@ def main(argv=None):
         last = iteration == args.max_iter - 1
         if ((iteration % args.val_every == 0 and iteration > start_iter)
                 or last) and iteration >= args.speedrun:
+            vbatch = fold_batch(valid_loaders)
+            vm = eval_step(stacked, vbatch)
+            logger.log_scalars(
+                "eval_loss", iteration,
+                {key: float(np.mean(np.asarray(v)))
+                 for key, v in vm.items()},
+                file="valid",
+            )
             accum = []
             for fold in range(k):
                 st = unstack_state(stacked, fold)
