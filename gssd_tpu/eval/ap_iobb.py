@@ -140,6 +140,32 @@ def evaluate_detections(
     return voc_ap(rec, prec, use_07_metric)
 
 
+def _stream_batches(dataset, transform, batch_size: int,
+                    gt_boxes: Dict[int, np.ndarray]):
+    """Yield (start, batch [B,H,W,12], sizes [(W,H)...]) chunk by chunk.
+
+    Images are pulled and transformed per chunk so eval memory is
+    O(batch), not O(dataset) — the reference preloads the whole split
+    (make_pred's serial loop is per-image but our batched path used to
+    materialize everything first); gt_boxes (tiny) is filled as a side
+    effect."""
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        images, sizes = [], []
+        for idx in range(start, min(start + batch_size, n)):
+            raw = dataset.pull_image(idx)   # [4, H, W, 3] 0..255
+            anno = dataset.pull_anno(idx)   # [m, 5] pixel boxes
+            gt_boxes[idx] = anno[:, :4].astype(np.float64)
+            x, _, _ = transform(raw)
+            p, h, w, c = x.shape
+            images.append(
+                np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c))
+            sizes.append((raw.shape[2], raw.shape[1]))  # (W, H)
+        pad = batch_size - len(images)
+        batch = np.stack(images + [images[-1]] * pad).astype(np.float32)
+        yield start, batch, sizes
+
+
 def collect_predictions(
     infer_fn: Callable[[np.ndarray], np.ndarray],
     dataset,
@@ -147,40 +173,37 @@ def collect_predictions(
     conf_threshold: float = 0.2,
     batch_size: int = 16,
     class_idx: int = 1,
+    score_sink: Optional[Dict[str, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, Dict[int, np.ndarray]]:
     """Run the detector over a dataset; return (predictions, gt_boxes).
 
     infer_fn maps a [B, H, W, 12] float batch -> [B, C, K, 5] detections
     in normalized coords (score, x1, y1, x2, y2). Predictions are scaled
     back to original pixel size (make_pred, test_ap_iobb.py:126-141) and
-    filtered at conf_threshold (:148).
+    filtered at conf_threshold (:148). Images stream through in
+    O(batch) memory. If score_sink is given it is filled with 'raw'
+    (all score>0 detections) and 'filtered' (post conf_threshold)
+    score arrays for TB histograms (test_ap_iobb.py:201-207).
     """
-    n = len(dataset)
     preds: List[np.ndarray] = []
     gt_boxes: Dict[int, np.ndarray] = {}
-    images, sizes = [], []
-    for idx in range(n):
-        raw = dataset.pull_image(idx)  # [4, H, W, 3] 0..255
-        anno = dataset.pull_anno(idx)  # [m, 5] pixel boxes
-        gt_boxes[idx] = anno[:, :4].astype(np.float64)
-        x, _, _ = transform(raw)
-        p, h, w, c = x.shape
-        images.append(np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c))
-        sizes.append((raw.shape[2], raw.shape[1]))  # (W, H)
-
-    for start in range(0, n, batch_size):
-        chunk = images[start:start + batch_size]
-        pad = batch_size - len(chunk)
-        batch = np.stack(chunk + [chunk[-1]] * pad).astype(np.float32)
+    raw_scores: List[np.ndarray] = []
+    kept_scores: List[np.ndarray] = []
+    for start, batch, sizes in _stream_batches(
+            dataset, transform, batch_size, gt_boxes):
         det = np.asarray(infer_fn(batch))  # [B, C, K, 5]
-        for bi in range(len(chunk)):
+        for bi in range(len(sizes)):
             idx = start + bi
             rows = det[bi, class_idx]  # [K, 5]
+            if score_sink is not None:
+                raw_scores.append(rows[rows[:, 0] > 0, 0])
             keep = rows[:, 0] > conf_threshold
             rows = rows[keep]
+            if score_sink is not None:
+                kept_scores.append(rows[:, 0])
             if len(rows) == 0:
                 continue
-            W, H = sizes[idx]
+            W, H = sizes[bi]
             out = np.empty((len(rows), 6))
             out[:, 0] = idx
             out[:, 1] = rows[:, 0]
@@ -189,6 +212,11 @@ def collect_predictions(
             out[:, 4] = rows[:, 3] * W
             out[:, 5] = rows[:, 4] * H
             preds.append(out)
+    if score_sink is not None:
+        score_sink["raw"] = (
+            np.concatenate(raw_scores) if raw_scores else np.zeros(0))
+        score_sink["filtered"] = (
+            np.concatenate(kept_scores) if kept_scores else np.zeros(0))
     all_preds = (
         np.concatenate(preds) if preds else np.zeros((0, 6))
     )
@@ -212,33 +240,20 @@ def collect_predictions_pixellink(
     from gssd_tpu.eval.pixellink_decode import mask_to_boxes
 
     pl_cfg = pl_cfg or PixelLinkConfig()
-    n = len(dataset)
     preds: List[np.ndarray] = []
     gt_boxes: Dict[int, np.ndarray] = {}
-    images, sizes = [], []
-    for idx in range(n):
-        raw = dataset.pull_image(idx)
-        anno = dataset.pull_anno(idx)
-        gt_boxes[idx] = anno[:, :4].astype(np.float64)
-        x, _, _ = transform(raw)
-        p, h, w, c = x.shape
-        images.append(np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c))
-        sizes.append((raw.shape[2], raw.shape[1]))
-
-    for start in range(0, n, batch_size):
-        chunk = images[start:start + batch_size]
-        pad = batch_size - len(chunk)
-        batch = np.stack(chunk + [chunk[-1]] * pad).astype(np.float32)
+    for start, batch, sizes in _stream_batches(
+            dataset, transform, batch_size, gt_boxes):
         pix, lnk = forward_fn(batch)
         pix, lnk = np.asarray(pix), np.asarray(lnk)
-        for bi in range(len(chunk)):
+        for bi in range(len(sizes)):
             idx = start + bi
             scores, boxes = mask_to_boxes(pix[bi], lnk[bi], img_size, pl_cfg)
             keep = scores > conf_threshold
             scores, boxes = scores[keep], boxes[keep]
             if len(scores) == 0:
                 continue
-            W, H = sizes[idx]
+            W, H = sizes[bi]
             out = np.empty((len(scores), 6))
             out[:, 0] = idx
             out[:, 1] = scores
@@ -263,6 +278,7 @@ def run_detection_eval(
     use_pixel_link: bool = False,
     img_size: int = 300,
     pl_cfg=None,
+    score_sink: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, float]:
     """Full sweep -> {'ap30': ..., 'ap50': ..., 'iobb30': ...} (the
     reference's test_net_wrapper outputs, train v2.py:409-431)."""
@@ -273,7 +289,8 @@ def run_detection_eval(
         )
     else:
         preds, gts = collect_predictions(
-            infer_fn, dataset, transform, conf_threshold, batch_size
+            infer_fn, dataset, transform, conf_threshold, batch_size,
+            score_sink=score_sink,
         )
     out = {}
     for t in ap_list:

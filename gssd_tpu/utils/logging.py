@@ -53,6 +53,16 @@ class MetricsLogger:
         cols = "\t".join(f"{k}={float(v):.6g}" for k, v in scalars.items())
         f.write(f"{step}\t{group}\t{cols}\n")
 
+    def log_histogram(self, tag: str, step: int, values):
+        """Score histograms (reference test_ap_iobb.py:201-207 logs
+        detection scores pre/post confidence filter)."""
+        if self.tb is not None:
+            import numpy as np
+
+            values = np.asarray(values, np.float32).ravel()
+            if values.size:
+                self.tb.add_histogram(tag, values, step)
+
     def log_image(self, tag: str, step: int, image):
         """image: [H, W, C] float array in [0, 1]."""
         if self.tb is not None:
