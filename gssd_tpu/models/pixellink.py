@@ -88,14 +88,17 @@ class PixelLink(nn.Module):
 
         def attn(kind, idx):
             # the reference wraps these in torch.utils.checkpoint
-            # (pixel_link/model.py:203); the XLA analog (jax.checkpoint)
-            # is applied at the train-step level where needed
-            return SelfAttention(
+            # (pixel_link/model.py:203,...,296); nn.remat is the XLA
+            # analog — activations recomputed in backward
+            # (static_argnums entry = the `train` bool)
+            mod = (nn.remat(SelfAttention, static_argnums=(2,))
+                   if cfg.remat_attention else SelfAttention)
+            return mod(
                 max_pool_factor=cfg.max_pool_factor, dtype=dt,
                 name=f"{kind}_{idx}",
             )
 
-        aux: Dict[str, List] = {"offsets": []}
+        aux: Dict[str, List] = {"offsets": [], "attn": [], "attn_base": []}
         sa_i = 0
         sab_i = 0
         sources: List[jnp.ndarray] = []
@@ -120,7 +123,8 @@ class PixelLink(nn.Module):
             nonlocal sa_i
             s = x
             if cfg.use_self_attention:
-                s, _, _ = attn("attn", sa_i)(s, train)
+                s, _, a = attn("attn", sa_i)(s, train)
+                aux["attn"].append(a)
                 sa_i += 1
             if cfg.use_fuseconv:
                 s = nn.Conv(int(channels * fs), (1, 1), dtype=dt,
@@ -141,7 +145,8 @@ class PixelLink(nn.Module):
             nonlocal sab_i
             attn_g = None
             if cfg.use_self_attention_base:
-                x, attn_g, _ = attn("attn_base", sab_i)(x, train)
+                x, attn_g, a = attn("attn_base", sab_i)(x, train)
+                aux["attn_base"].append(a)
                 sab_i += 1
             return x, attn_g
 
@@ -234,8 +239,9 @@ class PixelLink(nn.Module):
             "pixel": out_pix.astype(jnp.float32),
             "link": out_lnk.astype(jnp.float32),
         }
-        if aux["offsets"]:
-            out["offsets"] = aux["offsets"]
+        for key, v in aux.items():
+            if v:
+                out[key] = v
         return out
 
 

@@ -96,7 +96,12 @@ class SSD(nn.Module):
     cfg: ModelConfig
 
     def _attn(self, name: str, idx: int):
-        return SelfAttention(
+        # --remat_attention: jax.checkpoint the attention block so its
+        # activations are recomputed in backward (torch.utils.checkpoint
+        # analog; the static_argnums entry is the `train` bool)
+        mod = (nn.remat(SelfAttention, static_argnums=(2,))
+               if self.cfg.remat_attention else SelfAttention)
+        return mod(
             max_pool_factor=self.cfg.max_pool_factor,
             dtype=self.dtype,
             name=f"{name}_{idx}",
