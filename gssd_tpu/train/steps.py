@@ -136,6 +136,42 @@ def make_pixellink_train_step(model, plc, optim_cfg=None) -> Callable:
     return train_step
 
 
+def make_pixellink_eval_step(model, plc) -> Callable:
+    """Validation-loss step for PixelLink: eval-mode forward (frozen
+    BN / spectral) + the same weighted pixel/link loss (reference
+    pixellink trainer valid loop, :290-321)."""
+    from gssd_tpu.ops.pixellink_loss import pixellink_loss
+
+    def eval_step(state: TrainState, batch):
+        targets = {
+            k: batch[k]
+            for k in ("pixel_mask", "neg_pixel_mask", "pixel_pos_weight",
+                      "link_mask")
+        }
+        out = model.apply(state.variables(), batch["image"], train=False)
+        loss, parts = pixellink_loss(
+            out["pixel"], out["link"], targets,
+            pixel_weight=plc.pixel_weight, link_weight=plc.link_weight,
+            neg_pos_ratio=plc.neg_pos_ratio,
+        )
+        return {"loss": loss, **parts}
+
+    return eval_step
+
+
+def make_pixellink_forward_with_aux(model) -> Callable:
+    """--visualize variant: (pixel, link) logits plus aux maps (DCN
+    offsets, attention) for the dump path (test_ap_iobb.py:156-179)."""
+
+    def forward(state: TrainState, images):
+        out = model.apply(state.variables(), images, train=False)
+        aux = {k: out[k] for k in ("offsets", "attn", "attn_base")
+               if k in out}
+        return out["pixel"], out["link"], aux
+
+    return forward
+
+
 def make_pixellink_forward(model) -> Callable:
     """Eval-mode forward returning (pixel_logits, link_logits) NHWC;
     host-side mask_to_boxes decodes them."""
