@@ -9,9 +9,16 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 from typing import List, Optional
 
 import numpy as np
+
+
+def natsort_key(name: str):
+    """Natural sort key ('P_2' < 'P_10'); the reference natsorts DICOM
+    slice filenames (data_checker...1904.py:113)."""
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
 
 
 def _require_pydicom():
@@ -31,7 +38,8 @@ def read_dicom_series(directory: str, filepattern: str = "*") -> np.ndarray:
     pydicom = _require_pydicom()
     if not os.path.isdir(directory):
         raise ValueError(f"not a directory: {directory}")
-    files = sorted(glob.glob(os.path.join(directory, filepattern)))
+    files = sorted(glob.glob(os.path.join(directory, filepattern)),
+                   key=natsort_key)
     files = [f for f in files if os.path.isfile(f)]
     slices = [pydicom.dcmread(f) for f in files]
     slices = [s for s in slices if hasattr(s, "pixel_array")]
