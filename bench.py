@@ -162,13 +162,19 @@ def measure_jax(batch: int, iters: int) -> float:
         "labels": jnp.zeros((batch, 1), jnp.int32),
         "valid": jnp.ones((batch, 1), bool),
     }
-    # warmup / compile
+    # warmup / compile, then a burn-in loop: the tunneled device inflates
+    # the first ~400 ms of dispatch after an executable starts running
+    # (one-time session warmup, not steady-state step time)
     state, metrics = step(state, batch_data)
     jax.block_until_ready(metrics["loss"])
+    for _ in range(8):
+        state, metrics = step(state, batch_data)
+    float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # D2H sync (block_until_ready is a no-op
+    # over the tunnel; the donated state chains the steps)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

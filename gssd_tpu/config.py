@@ -157,7 +157,7 @@ class ModelConfig:
     # analytic offset grads + Pallas matmul dx — 1.75x the 'xla' path on
     # v5e), 'xla' (4-corner gather, exact f32 grads), or 'pallas'
     # (hat-matrix MXU sampler end to end)
-    dcn_impl: str = "fused"
+    dcn_impl: str = "hat"
 
     def __post_init__(self):
         if self.detach_sab and not self.dcn_cat_sab:

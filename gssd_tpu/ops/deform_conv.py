@@ -287,6 +287,10 @@ class DCN(nn.Module):
             )
 
             fn = deform_conv2d_pallas
+        elif self.impl == "hat":
+            from gssd_tpu.ops.pallas.deform_hat import deform_conv2d_hat
+
+            fn = deform_conv2d_hat
         elif self.impl == "fused":
             from gssd_tpu.ops.deform_fused import deform_conv2d_fused
 

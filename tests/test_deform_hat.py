@@ -1,0 +1,94 @@
+"""Parity of the single-dispatch hat-matrix DCN kernel
+(ops/pallas/deform_hat.py) against the f32 XLA reference
+implementation (ops/deform_conv.deform_conv2d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gssd_tpu.ops.deform_conv import deform_conv2d
+from gssd_tpu.ops.pallas.deform_hat import deform_conv2d_hat
+
+
+def _rand_inputs(rng, B=2, H=6, W=6, C=8, Cout=4, G=2, K=9):
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    dy = (rng.normal(size=(B, H, W, G, K)) * 1.5).astype(np.float32)
+    dx = (rng.normal(size=(B, H, W, G, K)) * 1.5).astype(np.float32)
+    mask = rng.uniform(0, 1, (B, H, W, G, K)).astype(np.float32)
+    weight = (rng.normal(size=(K, C, Cout)) * 0.2).astype(np.float32)
+    bias = rng.normal(size=(Cout,)).astype(np.float32)
+    return x, dy, dx, mask, weight, bias
+
+
+def test_hat_forward_matches(rng):
+    args = tuple(jnp.asarray(a) for a in _rand_inputs(rng))
+    want = np.asarray(deform_conv2d(*args))
+    got = np.asarray(deform_conv2d_hat(*args))
+    # hat weights run through bf16 inside the kernel
+    np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+
+
+def test_hat_forward_multitile(rng):
+    # P > TP so the kernel actually tiles + pads (P = 144, TP = 128)
+    args = tuple(jnp.asarray(a) for a in _rand_inputs(rng, B=1, H=12, W=12))
+    want = np.asarray(deform_conv2d(*args))
+    got = np.asarray(deform_conv2d_hat(*args))
+    np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+
+
+def test_hat_gradients_match(rng):
+    args = tuple(jnp.asarray(a) for a in _rand_inputs(rng, B=1, H=5, W=5))
+
+    def loss(impl):
+        return lambda *a: jnp.sum(impl(*a) ** 2)
+
+    g_ref = jax.grad(loss(deform_conv2d), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_hat = jax.grad(loss(deform_conv2d_hat),
+                     argnums=(0, 1, 2, 3, 4, 5))(*args)
+    names = ["x", "dy", "dx", "mask", "weight", "bias"]
+    for n, a, b in zip(names, g_ref, g_hat):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / denom, a / denom, atol=0.02,
+                                   err_msg=f"grad mismatch: {n}")
+
+
+def test_hat_zero_offsets(rng):
+    """Zero offsets + unit mask = plain conv (the zero-init starting
+    point of the DCN block, dcn_v2_custom.py:66-77)."""
+    x, _, _, _, weight, bias = _rand_inputs(rng, H=7, W=7)
+    B, H, W, C = x.shape
+    G, K = 2, 9
+    zero = jnp.zeros((B, H, W, G, K))
+    ones = jnp.ones((B, H, W, G, K))
+    got = np.asarray(deform_conv2d_hat(
+        jnp.asarray(x), zero, zero, ones, jnp.asarray(weight),
+        jnp.asarray(bias)))
+    want = np.asarray(deform_conv2d(
+        jnp.asarray(x), zero, zero, ones, jnp.asarray(weight),
+        jnp.asarray(bias)))
+    np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+
+
+def test_hat_gradients_at_integer_offsets(rng):
+    """At exactly-integer sample coords (the zero-init state) the offset
+    gradient must use the same right-difference subgradient as the
+    4-corner reference — this is where training starts."""
+    x, _, _, _, weight, bias = _rand_inputs(rng, B=1, H=5, W=5)
+    B, H, W, C = x.shape
+    G, K = 2, 9
+    zero = jnp.zeros((B, H, W, G, K))
+    mask = jnp.full((B, H, W, G, K), 0.5)
+    args = (jnp.asarray(x), zero, zero, mask, jnp.asarray(weight),
+            jnp.asarray(bias))
+
+    def loss(impl):
+        return lambda *a: jnp.sum(impl(*a) ** 2)
+
+    g_ref = jax.grad(loss(deform_conv2d), argnums=(1, 2, 3))(*args)
+    g_hat = jax.grad(loss(deform_conv2d_hat), argnums=(1, 2, 3))(*args)
+    for n, a, b in zip(["dy", "dx", "mask"], g_ref, g_hat):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / denom, a / denom, atol=0.02,
+                                   err_msg=f"grad mismatch: {n}")
