@@ -170,10 +170,133 @@ def collate_raw(
     }
 
 
+class _EpochPermuter:
+    """Pure function (seed, epoch) -> permutation; caches the last few
+    epochs so workers can compute any batch's indices independently."""
+
+    def __init__(self, seed: int, n: int, shuffle: bool):
+        self.seed = seed
+        self.n = n
+        self.shuffle = shuffle
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def indices_for_batch(self, j: int, batch_size: int) -> List[int]:
+        out = []
+        for t in range(j * batch_size, (j + 1) * batch_size):
+            e, pos = divmod(t, self.n)
+            perm = self._cache.get(e)
+            if perm is None:
+                perm = (np.random.default_rng((self.seed << 24) ^ e)
+                        .permutation(self.n)
+                        if self.shuffle else np.arange(self.n))
+                self._cache[e] = perm
+                # keep the cache bounded (workers walk epochs in order)
+                for stale in [k for k in self._cache if k < e - 2]:
+                    del self._cache[stale]
+            out.append(int(perm[pos]))
+        return out
+
+
+def _mp_worker(dataset, batch_size, max_gt, seed, shuffle, collate_fn,
+               worker_id, num_workers, queue):
+    """Worker loop: builds every num_workers-th batch. Batch j's sample
+    indices and augmentation randomness are pure functions of (seed, j),
+    so the global batch stream is reproducible and independent of the
+    worker count."""
+    perm = _EpochPermuter(seed, len(dataset), shuffle)
+    j = worker_id
+    while True:
+        if dataset.transform is not None and hasattr(dataset.transform, "rng"):
+            dataset.transform.rng = np.random.default_rng((seed << 20) ^ j)
+        items = [dataset[i] for i in perm.indices_for_batch(j, batch_size)]
+        queue.put(collate_fn(items, max_gt))
+        j += num_workers
+
+
+class MPBatchLoader:
+    """Multi-process batch loader (the TPU-host analog of the
+    reference's DataLoader(num_workers), train v2.py:538): N forked
+    worker processes each build complete collated batches; the parent
+    round-robins across per-worker queues, so batches arrive in the
+    same deterministic order regardless of worker timing.
+
+    Workers are forked in __init__ — construct loaders before heavy
+    JAX activity so children never inherit mid-flight runtime state.
+    Workers touch only numpy/cv2 (never JAX)."""
+
+    def __init__(
+        self,
+        dataset: LesionDataset,
+        batch_size: int,
+        max_gt: int = 16,
+        seed: int = 1111,
+        shuffle: bool = True,
+        prefetch: int = 2,
+        collate_fn: Callable = None,
+        num_workers: int = 2,
+    ):
+        import multiprocessing as mp
+
+        if len(dataset) == 0:
+            raise ValueError("MPBatchLoader over an empty dataset")
+        ctx = mp.get_context("fork")
+        self.num_workers = max(1, num_workers)
+        self._queues = []
+        self._procs = []
+        collate_fn = collate_fn or collate
+        for wid in range(self.num_workers):
+            q = ctx.Queue(maxsize=max(1, prefetch))
+            p = ctx.Process(
+                target=_mp_worker,
+                args=(dataset, batch_size, max_gt, seed, shuffle,
+                      collate_fn, wid, self.num_workers, q),
+                daemon=True,
+            )
+            p.start()
+            self._queues.append(q)
+            self._procs.append(p)
+
+    def __iter__(self):
+        wid = 0
+        while True:
+            yield self._queues[wid].get()
+            wid = (wid + 1) % self.num_workers
+
+    def shutdown(self):
+        for p in self._procs:
+            p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)
+
+
+def device_prefetch(iterator, size: int = 2):
+    """Wrap a host batch iterator with an n-deep device-transfer
+    pipeline: jax.device_put the next batches while the current step
+    runs, so H2D rides under compute (double buffering)."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a) if isinstance(a, np.ndarray) else a,
+            batch)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class BatchLoader:
     """Shuffling, endlessly-repeating host batch iterator with a
     background prefetch thread (the reference uses torch DataLoader
-    worker processes, train v2.py:532-554)."""
+    worker processes, train v2.py:532-554). For multi-process loading
+    see MPBatchLoader."""
 
     def __init__(
         self,
