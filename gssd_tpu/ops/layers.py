@@ -81,6 +81,55 @@ def adaptive_avg_pool(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     return jnp.einsum("tw,bhwc->bhtc", mw, x)
 
 
+class _BlockDiagConv(nn.Module):
+    """Grouped conv computed as a DENSE conv with a block-diagonal
+    kernel. Numerically identical to feature_group_count (the extra
+    contraction terms are exact zeros), but 1.5-3x faster on TPU at
+    large spatial extents where XLA's grouped-conv lowering starves the
+    MXU (measured: scripts/exp_gconv.py — 300^2 64ch: 27 -> 15 ms,
+    150^2 128ch: 14 -> 4.7 ms fwd+bwd @ b32). The parameter keeps the
+    grouped [kh, kw, Cin/G, Cout] layout so checkpoints and weight
+    transplants are unaffected; the zero padding to dense happens at
+    trace time and its VJP slices the gradient back down."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Any
+    kernel_dilation: Tuple[int, int]
+    groups: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        cgi = cin // self.groups
+        cgo = self.features // self.groups
+        kh, kw = self.kernel
+        w = self.param("kernel", xavier_uniform,
+                       (kh, kw, cgi, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        parts = [
+            jnp.pad(w[:, :, :, g * cgo:(g + 1) * cgo],
+                    ((0, 0), (0, 0),
+                     (g * cgi, (self.groups - 1 - g) * cgi), (0, 0)))
+            for g in range(self.groups)
+        ]
+        wd = jnp.concatenate(parts, axis=3).astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, wd.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wd, self.strides, self.padding,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn)
+        return y + b.astype(self.dtype)
+
+
+# grouped convs switch to the block-diagonal dense form at or above
+# this many spatial positions (crossover measured on v5e)
+DENSE_GROUPS_MIN_HW = 5000
+
+
 class ConvBNRelu(nn.Module):
     """Grouped conv + optional BatchNorm + optional ReLU."""
 
@@ -99,17 +148,34 @@ class ConvBNRelu(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=xavier_uniform,
-        )(x)
+        out_hw = ((x.shape[1] + pad[0][0] + pad[0][1] - self.kernel + 1)
+                  // self.stride) * (
+            (x.shape[2] + pad[1][0] + pad[1][1] - self.kernel + 1)
+            // self.stride)
+        if self.groups > 1 and out_hw >= DENSE_GROUPS_MIN_HW:
+            x = _BlockDiagConv(
+                self.features,
+                (self.kernel, self.kernel),
+                (self.stride, self.stride),
+                pad,
+                (self.dilation, self.dilation),
+                self.groups,
+                self.dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=pad,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=xavier_uniform,
+                name="Conv_0",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -150,8 +150,12 @@ def _dhat(p_col, q):
             - (d == 0.0).astype(jnp.float32))
 
 
-def _bwd1_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
-                 dpy_ref, dpx_ref, dm_ref, dx_ref):
+def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
+                dpy_ref, dpx_ref, dm_ref, dx_ref, dw_ref):
+    """One pass for all five cotangents. Grid (G, B, T): dx accumulates
+    over the innermost t steps; dW accumulates over (b, t) for each
+    group; the hat recompute and dU are shared by every term."""
+    b = pl.program_id(1)
     t = pl.program_id(2)
     py = py_ref[0, 0]
     px = px_ref[0, 0]
@@ -163,10 +167,15 @@ def _bwd1_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
     # dU (all taps) = g @ W^T : [TP, K*Cg]
     dU = jnp.dot(gout.astype(jnp.bfloat16), wt_ref[0],
                  preferred_element_type=jnp.float32)
+    gout_b = gout.astype(jnp.bfloat16)
 
     @pl.when(t == 0)
     def _():
         dx_ref[0, 0] = jnp.zeros_like(dx_ref[0, 0])
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
 
     for k in range(K):
         ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
@@ -185,34 +194,15 @@ def _bwd1_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
         dbx = _dhat(px[:, k:k + 1], qx)
         dpx_ref[0, 0, :, k:k + 1] = jnp.sum(mdS * ay * dbx, axis=1,
                                             keepdims=True)
-        # dx += S_k^T @ dU_k  [HW, Cg]
         s_b = (s0 * mk).astype(jnp.bfloat16)
+        # dx += S_k^T @ dU_k  [HW, Cg]
         dx_ref[0, 0] += jax.lax.dot_general(
             s_b, dU_k, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-
-def _bwd2_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, g_ref, dw_ref):
-    b = pl.program_id(1)
-    t = pl.program_id(2)
-    py = py_ref[0, 0]
-    px = px_ref[0, 0]
-    m = m_ref[0, 0]
-    xf = xf_ref[0, 0]
-    gout = g_ref[0].astype(jnp.bfloat16)
-    HW, Cg = xf.shape
-    qy, qx = _grid_rows(HW, W)
-
-    @pl.when((b == 0) & (t == 0))
-    def _():
-        dw_ref[0] = jnp.zeros_like(dw_ref[0])
-
-    for k in range(K):
-        ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
-        s = (ay * bx * m[:, k:k + 1]).astype(jnp.bfloat16)
-        samp = jnp.dot(s, xf, preferred_element_type=jnp.float32)
+        # dW_k += U_k^T @ g  [Cg, Cout]
+        samp = jnp.dot(s_b, xf, preferred_element_type=jnp.float32)
         dw_ref[0, k * Cg:(k + 1) * Cg] += jax.lax.dot_general(
-            samp.astype(jnp.bfloat16), gout,
+            samp.astype(jnp.bfloat16), gout_b,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -242,46 +232,31 @@ def _make_hat_core(W: int):
         wt = jnp.swapaxes(wg, 1, 2)
 
         coord_spec = pl.BlockSpec(
-            (1, 1, TP, K), lambda b, gg, t: (b, gg, t, 0))
-        dpy, dpx, dm, dx = pl.pallas_call(
-            functools.partial(_bwd1_kernel, K, W),
-            grid=(B, G, Pp // TP),
+            (1, 1, TP, K), lambda gg, b, t: (b, gg, t, 0))
+        dpy, dpx, dm, dx, dwg = pl.pallas_call(
+            functools.partial(_bwd_kernel, K, W),
+            grid=(G, B, Pp // TP),
             in_specs=[
                 coord_spec, coord_spec, coord_spec,
-                pl.BlockSpec((1, 1, HW, Cg), lambda b, gg, t: (b, gg, 0, 0)),
-                pl.BlockSpec((1, Cout, K * Cg), lambda b, gg, t: (gg, 0, 0)),
-                pl.BlockSpec((1, TP, Cout), lambda b, gg, t: (b, t, 0)),
+                pl.BlockSpec((1, 1, HW, Cg), lambda gg, b, t: (b, gg, 0, 0)),
+                pl.BlockSpec((1, Cout, K * Cg), lambda gg, b, t: (gg, 0, 0)),
+                pl.BlockSpec((1, TP, Cout), lambda gg, b, t: (b, t, 0)),
             ],
             out_specs=[
                 coord_spec, coord_spec, coord_spec,
-                pl.BlockSpec((1, 1, HW, Cg), lambda b, gg, t: (b, gg, 0, 0)),
+                pl.BlockSpec((1, 1, HW, Cg), lambda gg, b, t: (b, gg, 0, 0)),
+                pl.BlockSpec((1, K * Cg, Cout), lambda gg, b, t: (gg, 0, 0)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
                 jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
                 jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
                 jax.ShapeDtypeStruct((B, G, HW, Cg), jnp.float32),
+                jax.ShapeDtypeStruct((G, K * Cg, Cout), jnp.float32),
             ],
             compiler_params=bwd_params,
             interpret=_interpret(),
         )(py, px, m, xf, wt, g)
-
-        dwg = pl.pallas_call(
-            functools.partial(_bwd2_kernel, K, W),
-            grid=(G, B, Pp // TP),
-            in_specs=[
-                pl.BlockSpec((1, 1, TP, K), lambda gg, b, t: (b, gg, t, 0)),
-                pl.BlockSpec((1, 1, TP, K), lambda gg, b, t: (b, gg, t, 0)),
-                pl.BlockSpec((1, 1, TP, K), lambda gg, b, t: (b, gg, t, 0)),
-                pl.BlockSpec((1, 1, HW, Cg), lambda gg, b, t: (b, gg, 0, 0)),
-                pl.BlockSpec((1, TP, Cout), lambda gg, b, t: (b, t, 0)),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, K * Cg, Cout), lambda gg, b, t: (gg, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((G, K * Cg, Cout), jnp.float32),
-            compiler_params=bwd_params,
-            interpret=_interpret(),
-        )(py, px, m, xf, g)
 
         return dpy, dpx, dm, dx.astype(xf.dtype), dwg.astype(wg.dtype)
 

@@ -71,6 +71,16 @@ def piece_steps():
         "step/gssd": base,
         "step/gssd+attn": dataclasses.replace(
             base, use_self_attention=True, use_self_attention_base=True),
+        "step/gssd++hat": dataclasses.replace(
+            base, use_self_attention=True, use_self_attention_base=True,
+            num_dcn_layers=1, groups_dcn=4, dcn_cat_sab=True,
+            dcn_impl="hat"),
+        "step/gssd++hat-nocat": dataclasses.replace(
+            base, use_self_attention=True, use_self_attention_base=True,
+            num_dcn_layers=1, groups_dcn=4, dcn_cat_sab=False,
+            dcn_impl="hat"),
+        "step/gssd+dcnonly-hat": dataclasses.replace(
+            base, num_dcn_layers=1, groups_dcn=4, dcn_impl="hat"),
         "step/gssd++fused": dataclasses.replace(
             base, use_self_attention=True, use_self_attention_base=True,
             num_dcn_layers=1, groups_dcn=4, dcn_cat_sab=True,
