@@ -68,7 +68,8 @@ def build_parser():
     p.add_argument("--detach_sab", default=False, type=str2bool)
     p.add_argument("--max_pool_factor", default=1, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
-    p.add_argument("--dcn_impl", default="fused", choices=["xla", "pallas", "fused"])
+    p.add_argument("--dcn_impl", default="hat",
+                   choices=["xla", "pallas", "fused", "hat"])
     # optimization — defaults are the published recipe (README.md:51-90:
     # batch 32, 60k iters, lr 1e-3 x0.1 @ 30k/50k, OHNM 3:1)
     p.add_argument("--batch_size", default=32, type=int)
@@ -95,6 +96,10 @@ def build_parser():
     p.add_argument("--output", default="output", type=str)
     p.add_argument("--model_name", default="gssd", type=str)
     p.add_argument("--log_iters", default=True, type=str2bool)
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler (xplane) trace of steps "
+                        "20-30 into this directory (view with "
+                        "tensorboard-plugin-profile / xprof)")
     # eval
     p.add_argument("--test", default=False, type=str2bool)
     p.add_argument("--checkpoint", default=None, type=int)
@@ -336,6 +341,24 @@ def main(argv=None):
         print(f"resumed from iteration {args.resume}")
     stacked = stack_states(states)
 
+    def make_train_loader(args, ds, seed, collate_fn=None):
+        """--num_workers > 1 selects the multi-process loader (the
+        reference's DataLoader(num_workers) analog, train v2.py:538);
+        otherwise the single prefetch-thread loader. The MP batch
+        stream is deterministic per (seed) but differs from the
+        thread loader's (per-batch reseeding vs one continuous RNG)."""
+        from gssd_tpu.data.dataset import MPBatchLoader
+
+        if args.num_workers > 1:
+            return iter(MPBatchLoader(
+                ds, args.batch_size, args.max_gt, seed=seed,
+                collate_fn=collate_fn, num_workers=args.num_workers,
+            ))
+        return iter(BatchLoader(
+            ds, args.batch_size, args.max_gt, seed=seed,
+            collate_fn=collate_fn,
+        ))
+
     device_aug = None
     if args.aug_method == "device":
         from gssd_tpu.data.augment_device import DeviceAugmentation
@@ -353,12 +376,12 @@ def main(argv=None):
             for i in range(k)
         ]
         loaders = [
-            iter(BatchLoader(
+            make_train_loader(
+                args,
                 LesionDataset(args.datapath, ids,
                               load_to_ram=args.load_data_to_ram),
-                args.batch_size, args.max_gt, seed=args.seed + i,
-                collate_fn=collate_raw,
-            ))
+                seed=args.seed + i, collate_fn=collate_raw,
+            )
             for i, ids in enumerate(splitter.data_cv_train)
         ]
     else:
@@ -379,11 +402,12 @@ def main(argv=None):
             for i in range(k)
         ]
         loaders = [
-            iter(BatchLoader(
+            make_train_loader(
+                args,
                 LesionDataset(args.datapath, ids, transform=augs[i],
                               load_to_ram=args.load_data_to_ram),
-                args.batch_size, args.max_gt, seed=args.seed + i,
-            ))
+                seed=args.seed + i,
+            )
             for i, ids in enumerate(splitter.data_cv_train)
         ]
     valid_loaders = [
@@ -436,24 +460,48 @@ def main(argv=None):
             }
         return {key: np.stack([b[key] for b in bs]) for key in bs[0]}
 
+    def batch_stream():
+        while True:
+            yield fold_batch(loaders, device_aug)
+
+    # H2D rides under compute: transfer the next batches while the
+    # current step runs (torch DataLoader pin_memory+prefetch analog)
+    from gssd_tpu.data.dataset import device_prefetch
+
+    batches = device_prefetch(batch_stream(), size=2)
+
     t_start = None  # set after the first (compile) step
+    input_wait = 0.0  # host time blocked waiting for the next batch
     for iteration in range(start_iter, args.max_iter):
-        batch = fold_batch(loaders, device_aug)
+        if args.profile_dir and iteration - start_iter == 20:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and iteration - start_iter == 30:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            print(f"xplane trace written to {args.profile_dir}")
+        t_in = time.perf_counter()
+        batch = next(batches)
+        input_wait += time.perf_counter() - t_in
         stacked, metrics = train_step(stacked, batch)
         if t_start is None:
             jax.block_until_ready(metrics["loss"])
             t_start = time.perf_counter()
             t_iters = iteration
+            input_wait = 0.0
 
         if args.log_iters and iteration % 10 == 0:
             m = {key: float(np.mean(np.asarray(v)))
                  for key, v in metrics.items()}
             dt = max(time.perf_counter() - t_start, 1e-6)
             sps = args.batch_size * k * max(iteration - t_iters, 1) / dt
+            wait_frac = input_wait / dt
             logger.log_scalars("loss", iteration, m)
+            logger.log_scalars("meta", iteration,
+                               {"input_wait_frac": wait_frac})
             print(f"iter {iteration}: loss={m['loss']:.4f} "
                   f"(l={m['loss_l']:.4f} c={m['loss_c']:.4f}) "
-                  f"lr={m.get('lr', 0):.2e} {sps:.1f} slices/s")
+                  f"lr={m.get('lr', 0):.2e} {sps:.1f} slices/s "
+                  f"input_wait={wait_frac * 100:.0f}%")
 
         if iteration % 100 == 0 and logger.tb is not None:
             # input-image grid with gt boxes, fold 0 (train v2.py:294-298)

@@ -26,6 +26,7 @@ def build_parser():
     p.add_argument("--datapath", default="", type=str)
     p.add_argument("--synthetic", default=False, type=str2bool)
     p.add_argument("--load_data_to_ram", default=False, type=str2bool)
+    p.add_argument("--num_workers", default=1, type=int)
     p.add_argument("--means", default=0.0, type=float)
     p.add_argument("--use_normalize", default=True, type=str2bool)
     p.add_argument("--p_only", default=False, type=str2bool)
@@ -52,7 +53,8 @@ def build_parser():
     p.add_argument("--vgg_groups", default=4, type=int)
     p.add_argument("--feature_scale", default=1, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
-    p.add_argument("--dcn_impl", default="fused", choices=["xla", "pallas", "fused"])
+    p.add_argument("--dcn_impl", default="fused",
+                   choices=["xla", "pallas", "fused", "hat"])
     p.add_argument("--pixel_weight", default=2.0, type=float)
     p.add_argument("--link_weight", default=1.0, type=float)
     p.add_argument("--neg_pos_ratio", default=3, type=int)
@@ -265,13 +267,29 @@ def main(argv=None):
         )
         for i in range(k)
     ]
-    loaders = [
-        iter(BatchLoader(
-            LesionDataset(args.datapath, ids, transform=augs[i],
-                          load_to_ram=args.load_data_to_ram),
-            args.batch_size, args.max_gt, seed=args.seed + i,
+    def make_train_loader(ds, seed):
+        """--num_workers > 1 selects the multi-process loader (reference
+        DataLoader(num_workers) analog); see train.py for determinism
+        notes."""
+        from gssd_tpu.data.dataset import MPBatchLoader
+
+        if getattr(args, "num_workers", 1) > 1:
+            return iter(MPBatchLoader(
+                ds, args.batch_size, args.max_gt, seed=seed,
+                collate_fn=collate_pixellink,
+                num_workers=args.num_workers,
+            ))
+        return iter(BatchLoader(
+            ds, args.batch_size, args.max_gt, seed=seed,
             collate_fn=collate_pixellink,
         ))
+
+    loaders = [
+        make_train_loader(
+            LesionDataset(args.datapath, ids, transform=augs[i],
+                          load_to_ram=args.load_data_to_ram),
+            seed=args.seed + i,
+        )
         for i, ids in enumerate(splitter.data_cv_train)
     ]
 
