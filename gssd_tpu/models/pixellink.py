@@ -65,7 +65,7 @@ class PixelLink(nn.Module):
     cascade_fuse: bool = False
     batch_norm: bool = True
     dtype: Any = jnp.bfloat16
-    dcn_impl: str = "xla"
+    dcn_impl: str = "hat"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
@@ -247,6 +247,6 @@ class PixelLink(nn.Module):
 
 def build_pixellink(cfg: PixelLinkConfig, cascade_fuse: bool = False,
                     batch_norm: bool = True, compute_dtype: str = "bfloat16",
-                    dcn_impl: str = "xla") -> PixelLink:
+                    dcn_impl: str = "hat") -> PixelLink:
     return PixelLink(cfg, cascade_fuse=cascade_fuse, batch_norm=batch_norm,
                      dtype=jnp.dtype(compute_dtype), dcn_impl=dcn_impl)

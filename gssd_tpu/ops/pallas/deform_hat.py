@@ -50,6 +50,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TP = 128
 
+# the kernels hold O(10) live [TP, CHUNK] f32 temporaries; large
+# feature maps are processed in CHUNK-column slices of the flattened
+# H*W axis so TP can stay at 128 rows regardless of map size
+CHUNK = 1536
+
+
+def _pick_tp(HW: int, Pp: int) -> int:
+    return min(DEFAULT_TP, Pp)
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -59,14 +68,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _grid_rows(HW: int, W: int):
-    """(qy, qx) f32 row vectors [1, HW] for the flattened feature map.
-    Mosaic iota is integer-only; exact true division keeps floor() safe
-    (q/W is exactly representable whenever q is a multiple of W)."""
-    q = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1).astype(jnp.float32)
+def _grid_rows(CH: int, W: int, h0: int = 0):
+    """(qy, qx) f32 row vectors [1, CH] for columns [h0, h0+CH) of the
+    flattened feature map. Mosaic iota is integer-only; exact true
+    division keeps floor() safe (q/W is exactly representable whenever
+    q is a multiple of W)."""
+    q = (jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+         .astype(jnp.float32) + float(h0))
     qy = jnp.floor(q / float(W))
     qx = q - qy * float(W)
     return qy, qx
+
+
+def _chunks(HW: int):
+    return [(h0, min(CHUNK, HW - h0)) for h0 in range(0, HW, CHUNK)]
 
 
 def _hats(py_col, px_col, qy, qx):
@@ -85,6 +100,8 @@ def _fwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref):
     # Per-tap accumulation, no VMEM scratch: the sampled [TP, Cg] tap
     # feeds its weight slice immediately (measured 2.3x faster than
     # staging a [TP, K*Cg] sampled_all buffer — scripts/exp_hat_fwd.py).
+    # Maps larger than CHUNK columns are processed in slices so the
+    # [TP, CH] hat temporaries stay VMEM-bounded at TP=128.
     py = py_ref[0, 0]  # [TP, K] f32
     px = px_ref[0, 0]
     m = m_ref[0, 0]
@@ -92,12 +109,15 @@ def _fwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref):
     HW, Cg = xf.shape
     TP = py.shape[0]
     Cout = w_ref.shape[2]
-    qy, qx = _grid_rows(HW, W)
     acc = jnp.zeros((TP, Cout), jnp.float32)
     for k in range(K):
-        ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
-        s = (ay * bx * m[:, k:k + 1]).astype(jnp.bfloat16)
-        samp = jnp.dot(s, xf, preferred_element_type=jnp.float32)
+        samp = jnp.zeros((TP, Cg), jnp.float32)
+        for h0, ch in _chunks(HW):
+            qy, qx = _grid_rows(ch, W, h0)
+            ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
+            s = (ay * bx * m[:, k:k + 1]).astype(jnp.bfloat16)
+            samp = samp + jnp.dot(s, xf[h0:h0 + ch],
+                                  preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(samp.astype(jnp.bfloat16),
                             w_ref[0, k * Cg:(k + 1) * Cg],
                             preferred_element_type=jnp.float32)
@@ -112,7 +132,7 @@ def _fwd_impl(py, px, m, xf, wg, W):
     B, G, Pp, K = py.shape
     HW, Cg = xf.shape[2], xf.shape[3]
     Cout = wg.shape[2]
-    TP = min(DEFAULT_TP, Pp)
+    TP = _pick_tp(HW, Pp)
     flops = 2 * B * G * K * Pp * HW * Cg + 2 * B * Pp * G * K * Cg * Cout
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, K, W),
@@ -130,7 +150,7 @@ def _fwd_impl(py, px, m, xf, wg, W):
             flops=flops, bytes_accessed=xf.size * 2 * (Pp // TP),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(py, px, m, xf, wg)
     return jnp.sum(out, axis=1)
@@ -163,7 +183,6 @@ def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
     xf = xf_ref[0, 0]  # [HW, Cg] bf16
     gout = g_ref[0]    # [TP, Cout] f32
     HW, Cg = xf.shape
-    qy, qx = _grid_rows(HW, W)
     # dU (all taps) = g @ W^T : [TP, K*Cg]
     dU = jnp.dot(gout.astype(jnp.bfloat16), wt_ref[0],
                  preferred_element_type=jnp.float32)
@@ -178,29 +197,38 @@ def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
         dw_ref[0] = jnp.zeros_like(dw_ref[0])
 
     for k in range(K):
-        ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
         mk = m[:, k:k + 1]
         dU_k = dU[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16)
-        # dS_k = dU_k @ xf^T  [TP, HW]
-        dS = jax.lax.dot_general(
-            dU_k, xf, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s0 = ay * bx
-        dm_ref[0, 0, :, k:k + 1] = jnp.sum(dS * s0, axis=1, keepdims=True)
-        mdS = dS * mk
-        day = _dhat(py[:, k:k + 1], qy)
-        dpy_ref[0, 0, :, k:k + 1] = jnp.sum(mdS * day * bx, axis=1,
-                                            keepdims=True)
-        dbx = _dhat(px[:, k:k + 1], qx)
-        dpx_ref[0, 0, :, k:k + 1] = jnp.sum(mdS * ay * dbx, axis=1,
-                                            keepdims=True)
-        s_b = (s0 * mk).astype(jnp.bfloat16)
-        # dx += S_k^T @ dU_k  [HW, Cg]
-        dx_ref[0, 0] += jax.lax.dot_general(
-            s_b, dU_k, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dm_a = jnp.zeros_like(mk)
+        dpy_a = jnp.zeros_like(mk)
+        dpx_a = jnp.zeros_like(mk)
+        samp = jnp.zeros((py.shape[0], Cg), jnp.float32)
+        for h0, ch in _chunks(HW):
+            qy, qx = _grid_rows(ch, W, h0)
+            ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
+            xfc = xf[h0:h0 + ch]
+            # dS_k = dU_k @ xf^T  [TP, CH]
+            dS = jax.lax.dot_general(
+                dU_k, xfc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s0 = ay * bx
+            dm_a += jnp.sum(dS * s0, axis=1, keepdims=True)
+            mdS = dS * mk
+            day = _dhat(py[:, k:k + 1], qy)
+            dpy_a += jnp.sum(mdS * day * bx, axis=1, keepdims=True)
+            dbx = _dhat(px[:, k:k + 1], qx)
+            dpx_a += jnp.sum(mdS * ay * dbx, axis=1, keepdims=True)
+            s_b = (s0 * mk).astype(jnp.bfloat16)
+            # dx += S_k^T @ dU_k  [CH, Cg]
+            dx_ref[0, 0, h0:h0 + ch] += jax.lax.dot_general(
+                s_b, dU_k, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            samp = samp + jnp.dot(s_b, xfc,
+                                  preferred_element_type=jnp.float32)
+        dm_ref[0, 0, :, k:k + 1] = dm_a
+        dpy_ref[0, 0, :, k:k + 1] = dpy_a
+        dpx_ref[0, 0, :, k:k + 1] = dpx_a
         # dW_k += U_k^T @ g  [Cg, Cout]
-        samp = jnp.dot(s_b, xf, preferred_element_type=jnp.float32)
         dw_ref[0, k * Cg:(k + 1) * Cg] += jax.lax.dot_general(
             samp.astype(jnp.bfloat16), gout_b,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -224,9 +252,9 @@ def _make_hat_core(W: int):
         B, G, Pp, K = py.shape
         HW, Cg = xf.shape[2], xf.shape[3]
         Cout = wg.shape[2]
-        TP = min(DEFAULT_TP, Pp)
+        TP = _pick_tp(HW, Pp)
         bwd_params = pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024)
+            vmem_limit_bytes=100 * 1024 * 1024)
         g = g.astype(jnp.float32)
         # wt[g] = wg[g]^T : [G, Cout, K*Cg]
         wt = jnp.swapaxes(wg, 1, 2)
@@ -308,7 +336,7 @@ def deform_conv2d_hat(
     px = to_bgpk(jnp.broadcast_to(px, (B, Ho, Wo, G, K)))
     m = to_bgpk(mask.astype(jnp.float32))
 
-    TP = min(DEFAULT_TP, _cdiv(P, 8) * 8)
+    TP = _pick_tp(HW, _cdiv(P, 8) * 8)
     Pp = _cdiv(P, TP) * TP
     if Pp != P:
         pad = ((0, 0), (0, 0), (0, Pp - P), (0, 0))

@@ -53,7 +53,7 @@ def build_parser():
     p.add_argument("--vgg_groups", default=4, type=int)
     p.add_argument("--feature_scale", default=1, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
-    p.add_argument("--dcn_impl", default="fused",
+    p.add_argument("--dcn_impl", default="hat",
                    choices=["xla", "pallas", "fused", "hat"])
     p.add_argument("--pixel_weight", default=2.0, type=float)
     p.add_argument("--link_weight", default=1.0, type=float)
