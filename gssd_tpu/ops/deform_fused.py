@@ -16,6 +16,13 @@ Combines the best-measured pieces (v5e, batch 32, conv4_3 shapes):
 Numerically identical to ops.deform_conv.deform_conv2d (the f32 XLA
 reference) up to matmul association; parity-tested in
 tests/test_deform_fused.py.
+
+Known limitation (real-TPU Mosaic, not interpret mode): the dx hat
+kernel's [TP, W, Cg] -> [TP, W*Cg] reshape requires a lane-aligned
+W*Cg and fails to compile e.g. at PixelLink's 75x75/Cg=64 site. The
+default 'hat' impl (ops/pallas/deform_hat.py) has no such restriction
+and is faster at every site; this path is kept for cross-checks at the
+conv4_3 geometry.
 """
 
 from __future__ import annotations
