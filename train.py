@@ -108,7 +108,10 @@ def build_parser():
     p.add_argument("--ap_list", default="0.3,0.5,0.7", type=str)
     p.add_argument("--iobb_list", default="0.3,0.5,0.7", type=str)
     p.add_argument("--visualize", default=False, type=str2bool)
-    p.add_argument("--eval_batch", default=16, type=int)
+    p.add_argument("--eval_batch", default=None, type=int,
+                   help="inference batch for AP eval (default 16; 4 on "
+                        "the axon backend, whose worker crashes loading "
+                        "the full infer executable at b16 — STATUS.md)")
     p.add_argument("--warmup_eval", default=False, type=str2bool,
                    help="pre-compile eval/infer executables at startup")
     p.add_argument("--reference_recipe", default=None,
@@ -217,6 +220,11 @@ def main(argv=None):
     k = args.cross_validation
     ap_list = [float(t) for t in args.ap_list.split(",")]
     iobb_list = [float(t) for t in args.iobb_list.split(",")]
+    if args.eval_batch is None:
+        # the tunneled axon worker crashes loading the full infer
+        # executable at b16 once degraded (STATUS.md); b4 is reliable
+        on_axon = "axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+        args.eval_batch = 4 if on_axon else 16
 
     logger = MetricsLogger(os.path.join(args.output, "logs", args.model_name))
     logger.log_args(vars(args))
