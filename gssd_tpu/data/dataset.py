@@ -220,9 +220,10 @@ class MPBatchLoader:
     round-robins across per-worker queues, so batches arrive in the
     same deterministic order regardless of worker timing.
 
-    Workers are forked in __init__ — construct loaders before heavy
-    JAX activity so children never inherit mid-flight runtime state.
-    Workers touch only numpy/cv2 (never JAX)."""
+    Workers are forked in __init__ and touch only numpy/cv2 (never
+    JAX), so an already-initialized JAX runtime in the parent is inert
+    in the children (same contract as torch DataLoader fork workers
+    after CUDA init)."""
 
     def __init__(
         self,

@@ -148,9 +148,10 @@ class ConvBNRelu(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
-        out_hw = ((x.shape[1] + pad[0][0] + pad[0][1] - self.kernel + 1)
+        ek = (self.kernel - 1) * self.dilation + 1  # effective kernel
+        out_hw = ((x.shape[1] + pad[0][0] + pad[0][1] - ek + 1)
                   // self.stride) * (
-            (x.shape[2] + pad[1][0] + pad[1][1] - self.kernel + 1)
+            (x.shape[2] + pad[1][0] + pad[1][1] - ek + 1)
             // self.stride)
         if self.groups > 1 and out_hw >= DENSE_GROUPS_MIN_HW:
             x = _BlockDiagConv(
