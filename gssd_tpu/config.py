@@ -281,6 +281,16 @@ class PixelLinkConfig:
     # rematerialized by default here too
     remat_attention: bool = True
 
+    def __post_init__(self):
+        # same hazards ModelConfig guards against (ADVICE r1)
+        if self.detach_sab and not self.dcn_cat_sab:
+            raise ValueError("detach_sab requires dcn_cat_sab=True")
+        if self.dcn_cat_sab and not self.use_self_attention_base:
+            raise ValueError(
+                "dcn_cat_sab requires use_self_attention_base=True")
+        if self.dcn_cat_sab and self.num_dcn_layers <= 0:
+            raise ValueError("dcn_cat_sab requires num_dcn_layers > 0")
+
     @property
     def scale_factor(self) -> int:
         return 2 if self.version == "2s" else 4

@@ -198,13 +198,13 @@ class _EpochPermuter:
 
 
 def _mp_worker(dataset, batch_size, max_gt, seed, shuffle, collate_fn,
-               worker_id, num_workers, queue):
+               worker_id, num_workers, queue, start_batch=0):
     """Worker loop: builds every num_workers-th batch. Batch j's sample
     indices and augmentation randomness are pure functions of (seed, j),
     so the global batch stream is reproducible and independent of the
     worker count."""
     perm = _EpochPermuter(seed, len(dataset), shuffle)
-    j = worker_id
+    j = start_batch + worker_id
     while True:
         if dataset.transform is not None and hasattr(dataset.transform, "rng"):
             dataset.transform.rng = np.random.default_rng((seed << 20) ^ j)
@@ -235,7 +235,12 @@ class MPBatchLoader:
         prefetch: int = 2,
         collate_fn: Callable = None,
         num_workers: int = 2,
+        start_batch: int = 0,
     ):
+        """start_batch: resume the deterministic stream at this global
+        batch index — exact-resume data order, something the
+        reference's stateful DataLoader cannot do (v2.py:630-637
+        restarts its stream on --resume)."""
         import multiprocessing as mp
 
         if len(dataset) == 0:
@@ -250,7 +255,7 @@ class MPBatchLoader:
             p = ctx.Process(
                 target=_mp_worker,
                 args=(dataset, batch_size, max_gt, seed, shuffle,
-                      collate_fn, wid, self.num_workers, q),
+                      collate_fn, wid, self.num_workers, q, start_batch),
                 daemon=True,
             )
             p.start()
@@ -258,9 +263,22 @@ class MPBatchLoader:
             self._procs.append(p)
 
     def __iter__(self):
+        import queue as queue_mod
+
         wid = 0
         while True:
-            yield self._queues[wid].get()
+            while True:
+                try:
+                    batch = self._queues[wid].get(timeout=60)
+                    break
+                except queue_mod.Empty:
+                    if not self._procs[wid].is_alive():
+                        raise RuntimeError(
+                            f"MPBatchLoader worker {wid} died "
+                            f"(exitcode {self._procs[wid].exitcode}); "
+                            "check for unreadable npy files or "
+                            "transform errors") from None
+            yield batch
             wid = (wid + 1) % self.num_workers
 
     def shutdown(self):

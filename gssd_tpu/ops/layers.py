@@ -149,10 +149,9 @@ class ConvBNRelu(nn.Module):
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
         ek = (self.kernel - 1) * self.dilation + 1  # effective kernel
-        out_hw = ((x.shape[1] + pad[0][0] + pad[0][1] - ek + 1)
-                  // self.stride) * (
-            (x.shape[2] + pad[1][0] + pad[1][1] - ek + 1)
-            // self.stride)
+        out_hw = ((x.shape[1] + pad[0][0] + pad[0][1] - ek) // self.stride
+                  + 1) * (
+            (x.shape[2] + pad[1][0] + pad[1][1] - ek) // self.stride + 1)
         if self.groups > 1 and out_hw >= DENSE_GROUPS_MIN_HW:
             x = _BlockDiagConv(
                 self.features,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from multiprocessing import Pool
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -155,9 +156,17 @@ def load_subject(
     pivot_vol = vols[PHASES.index(phase_name)]
     z_pivot = pivot_vol.shape[2]
     delta = deltas[phase_name]
+    if delta < 0:
+        raise ValueError(
+            f"{subject}: negative z-delta {delta} for phase "
+            f"{phase_name} — a negative Python slice would silently "
+            "select the wrong window; fix the xlsx metadata")
+    # match <mask_base>.raw and <mask_base><digits>.raw only; a bare
+    # startswith would also let phase 'P' absorb 'Pre' masks
+    mask_re = re.compile(re.escape(mask_base) + r"\d*\.")
     mask_list, found = [], []
     for fname in sorted(os.listdir(mask_dir), key=natsort_key):
-        if fname.startswith(mask_base):
+        if mask_re.match(fname):
             # raw masks share the CT in-plane resolution (512x512 for
             # the clinical drop; taken from the volume so synthetic
             # fixtures can be smaller)

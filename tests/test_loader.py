@@ -71,6 +71,21 @@ def test_mp_loader_epoch_coverage(tiny_dataset):
     assert len(set(seen)) == len(ids), "epoch must cover every item once"
 
 
+def test_mp_loader_exact_resume(tiny_dataset):
+    """start_batch=j reproduces the continuous stream from batch j."""
+    path, ids = tiny_dataset
+    cont = _stream(path, ids, 1, n=6)
+    ds = LesionDataset(path, ids, transform=_JitterTransform())
+    ld = MPBatchLoader(ds, batch_size=4, seed=11, num_workers=2,
+                       start_batch=3)
+    it = iter(ld)
+    resumed = [next(it) for _ in range(3)]
+    ld.shutdown()
+    for i, (x, y) in enumerate(zip(cont[3:], resumed)):
+        np.testing.assert_allclose(x["image"], y["image"],
+                                   err_msg=f"batch {3 + i}")
+
+
 def test_thread_loader_static_shapes(tiny_dataset):
     path, ids = tiny_dataset
     ds = LesionDataset(path, ids)

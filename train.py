@@ -67,6 +67,10 @@ def build_parser():
     p.add_argument("--dcn_cat_sab", default=False, type=str2bool)
     p.add_argument("--detach_sab", default=False, type=str2bool)
     p.add_argument("--max_pool_factor", default=1, type=int)
+    p.add_argument("--remat_attention", default=False, type=str2bool,
+                   help="jax.checkpoint the attention blocks (memory/"
+                        "compute trade-off; the reference checkpoints "
+                        "only PixelLink attention, model.py:203)")
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
     p.add_argument("--dcn_impl", default="hat",
                    choices=["xla", "pallas", "fused", "hat"])
@@ -180,6 +184,7 @@ def model_config(args):
         dcn_cat_sab=args.dcn_cat_sab,
         detach_sab=args.detach_sab,
         max_pool_factor=args.max_pool_factor,
+        remat_attention=args.remat_attention,
         compute_dtype=args.compute_dtype,
         dcn_impl=args.dcn_impl,
     )
@@ -361,6 +366,7 @@ def main(argv=None):
             return iter(MPBatchLoader(
                 ds, args.batch_size, args.max_gt, seed=seed,
                 collate_fn=collate_fn, num_workers=args.num_workers,
+                start_batch=args.resume or args.start_iter or 0,
             ))
         return iter(BatchLoader(
             ds, args.batch_size, args.max_gt, seed=seed,
@@ -468,9 +474,18 @@ def main(argv=None):
             }
         return {key: np.stack([b[key] for b in bs]) for key in bs[0]}
 
+    grid_src = {}  # host-side copy for the TB input grid (fold 0)
+
     def batch_stream():
         while True:
-            yield fold_batch(loaders, device_aug)
+            b = fold_batch(loaders, device_aug)
+            if logger.tb is not None and isinstance(b["image"], np.ndarray):
+                # keep a host copy so the periodic TB grid never pulls
+                # the device_put batch back over the tunnel
+                grid_src["image"] = b["image"][0].copy()
+                grid_src["boxes"] = b["boxes"][0].copy()
+                grid_src["valid"] = b["valid"][0].copy()
+            yield b
 
     # H2D rides under compute: transfer the next batches while the
     # current step runs (torch DataLoader pin_memory+prefetch analog)
@@ -480,12 +495,20 @@ def main(argv=None):
 
     t_start = None  # set after the first (compile) step
     input_wait = 0.0  # host time blocked waiting for the next batch
+    trace_open = False
+    metrics = {"loss": jnp.zeros(())}
     for iteration in range(start_iter, args.max_iter):
         if args.profile_dir and iteration - start_iter == 20:
             jax.profiler.start_trace(args.profile_dir)
-        if args.profile_dir and iteration - start_iter == 30:
-            jax.block_until_ready(metrics["loss"])
+            trace_open = True
+        if args.profile_dir and trace_open and (
+                iteration - start_iter == 30
+                or iteration == args.max_iter - 1):
+            # np.asarray forces a D2H sync (block_until_ready is a
+            # no-op over the axon tunnel — CLAUDE.md)
+            np.asarray(metrics["loss"])
             jax.profiler.stop_trace()
+            trace_open = False
             print(f"xplane trace written to {args.profile_dir}")
         t_in = time.perf_counter()
         batch = next(batches)
@@ -515,11 +538,13 @@ def main(argv=None):
             # input-image grid with gt boxes, fold 0 (train v2.py:294-298)
             from gssd_tpu.utils.visualize import input_grid_with_boxes
 
+            src = grid_src if "image" in grid_src else {
+                "image": np.asarray(batch["image"][0]),
+                "boxes": np.asarray(batch["boxes"][0]),
+                "valid": np.asarray(batch["valid"][0]),
+            }
             panel = input_grid_with_boxes(
-                np.asarray(batch["image"][0]),
-                np.asarray(batch["boxes"][0]),
-                np.asarray(batch["valid"][0]),
-            )
+                src["image"], src["boxes"], src["valid"])
             logger.log_image("inputs/train_fold0", iteration, panel)
 
         last = iteration == args.max_iter - 1

@@ -217,9 +217,12 @@ def main(argv=None):
                     if len(scores):
                         det[1, :, 0] = scores
                         det[1, :, 1:] = boxes / args.ssd_dim
-                    scale = args.ssd_dim / raw.shape[1]
+                    sy = args.ssd_dim / raw.shape[1]
+                    sx = args.ssd_dim / raw.shape[2]
+                    anno_scaled = anno[:, :4] * np.asarray(
+                        [sx, sy, sx, sy], np.float32)
                     dump_eval_visuals(
-                        vdir, idx, img, anno[:, :4] * scale, det,
+                        vdir, idx, img, anno_scaled, det,
                         offsets=[np.asarray(o[0]) for o in
                                  aux.get("offsets", [])] or None,
                         attn=[np.asarray(a[0]) for a in
