@@ -476,15 +476,27 @@ def main(argv=None):
 
     grid_src = {}  # host-side copy for the TB input grid (fold 0)
 
+    # images are consumed as compute_dtype on device, so ship them in
+    # that dtype: halves H2D bytes losslessly (the tunnel moves ~22MB/s;
+    # an f32 b8 batch costs ~1.5s of transfer per step)
+    wire_dtype = None
+    if args.compute_dtype == "bfloat16":
+        import ml_dtypes
+
+        wire_dtype = ml_dtypes.bfloat16
+
     def batch_stream():
         while True:
             b = fold_batch(loaders, device_aug)
-            if logger.tb is not None and isinstance(b["image"], np.ndarray):
-                # keep a host copy so the periodic TB grid never pulls
-                # the device_put batch back over the tunnel
-                grid_src["image"] = b["image"][0].copy()
-                grid_src["boxes"] = b["boxes"][0].copy()
-                grid_src["valid"] = b["valid"][0].copy()
+            if isinstance(b["image"], np.ndarray):
+                if logger.tb is not None:
+                    # keep a host copy so the periodic TB grid never
+                    # pulls the device_put batch back over the tunnel
+                    grid_src["image"] = b["image"][0].copy()
+                    grid_src["boxes"] = b["boxes"][0].copy()
+                    grid_src["valid"] = b["valid"][0].copy()
+                if wire_dtype is not None:
+                    b["image"] = b["image"].astype(wire_dtype)
             yield b
 
     # H2D rides under compute: transfer the next batches while the
