@@ -69,7 +69,10 @@ def multibox_loss(
     # ---- hard negative mining on per-prior CE loss
     conf32 = conf_pred.astype(jnp.float32)
     lse = jax.nn.logsumexp(conf32, axis=-1)  # [B, P]
-    true_logit = jnp.take_along_axis(conf32, conf_t[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: its VJP is a
+    # multiply, not a scatter (TPU scatters dominate this loss's cost)
+    onehot = jax.nn.one_hot(conf_t, C, dtype=jnp.float32)
+    true_logit = jnp.sum(conf32 * onehot, axis=-1)
     ce = lse - true_logit  # [B, P]
 
     mining = jnp.where(pos, 0.0, ce)
