@@ -83,3 +83,4 @@ err = np.abs(ya - yb).max() / max(np.abs(ya).max(), 1e-6)
 print(f"im2col vs conv rel err: {err:.5f}")
 print(f"masked-dense conv : {run(f_masked, wd):7.2f} ms")
 print(f"im2col + matmul   : {run(f_im2col, wd):7.2f} ms")
+# conclusion: materialized-patch traffic dominates; masked-dense conv stays
