@@ -223,7 +223,12 @@ class MPBatchLoader:
     Workers are forked in __init__ and touch only numpy/cv2 (never
     JAX), so an already-initialized JAX runtime in the parent is inert
     in the children (same contract as torch DataLoader fork workers
-    after CUDA init)."""
+    after CUDA init).
+
+    Lifecycle: call shutdown() when done (trainers do so via
+    finally/atexit). Workers are daemonic, so they die with the parent
+    either way, but an explicit shutdown avoids queue feeder threads
+    being killed mid-put at interpreter exit."""
 
     def __init__(
         self,

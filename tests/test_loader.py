@@ -86,6 +86,37 @@ def test_mp_loader_exact_resume(tiny_dataset):
                                    err_msg=f"batch {3 + i}")
 
 
+def test_mp_loader_exact_resume_pixellink(tiny_dataset):
+    """The pixellink MP stream (augmentation-generated pixel/link target
+    maps + collate_pixellink) also resumes exactly at start_batch — the
+    path train_pixellink.py --resume --num_workers>1 takes."""
+    from gssd_tpu.data.augment import SSDAugmentation
+    from gssd_tpu.data.dataset import collate_pixellink
+
+    path, ids = tiny_dataset
+
+    def stream(start, n, workers):
+        ds = LesionDataset(
+            path, ids,
+            transform=SSDAugmentation(
+                pixeljitter=0.01, size=32, seed=7, use_normalize=True,
+                pixel_link_size=32, pixel_link_version="4s"))
+        ld = MPBatchLoader(ds, batch_size=4, seed=11, num_workers=workers,
+                           collate_fn=collate_pixellink, start_batch=start)
+        it = iter(ld)
+        out = [next(it) for _ in range(n)]
+        ld.shutdown()
+        return out
+
+    cont = stream(0, 5, 1)
+    resumed = stream(2, 3, 2)
+    for i, (x, y) in enumerate(zip(cont[2:], resumed)):
+        for key in ("image", "pixel_mask", "link_mask", "pixel_pos_weight",
+                    "boxes", "valid"):
+            np.testing.assert_allclose(x[key], y[key],
+                                       err_msg=f"batch {2 + i} key {key}")
+
+
 def test_thread_loader_static_shapes(tiny_dataset):
     path, ids = tiny_dataset
     ds = LesionDataset(path, ids)

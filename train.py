@@ -95,7 +95,11 @@ def build_parser():
     p.add_argument("--num_test_subjects", default=10, type=int)
     p.add_argument("--start_iter", default=0, type=int)
     p.add_argument("--resume", default=None, type=int,
-                   help="iteration to resume from")
+                   help="iteration to resume from. Exact-resume of the "
+                        "data-stream order additionally needs "
+                        "--num_workers > 1 (the MP loader's stream is a "
+                        "pure function of the batch index; the thread "
+                        "loader restarts its stream from batch 0)")
     p.add_argument("--seed", default=1111, type=int)
     p.add_argument("--output", default="output", type=str)
     p.add_argument("--model_name", default="gssd", type=str)
@@ -363,15 +367,15 @@ def main(argv=None):
         from gssd_tpu.data.dataset import MPBatchLoader
 
         if args.num_workers > 1:
-            return iter(MPBatchLoader(
+            return MPBatchLoader(
                 ds, args.batch_size, args.max_gt, seed=seed,
                 collate_fn=collate_fn, num_workers=args.num_workers,
                 start_batch=args.resume or args.start_iter or 0,
-            ))
-        return iter(BatchLoader(
+            )
+        return BatchLoader(
             ds, args.batch_size, args.max_gt, seed=seed,
             collate_fn=collate_fn,
-        ))
+        )
 
     device_aug = None
     if args.aug_method == "device":
@@ -389,7 +393,7 @@ def main(argv=None):
             )
             for i in range(k)
         ]
-        loaders = [
+        loader_objs = [
             make_train_loader(
                 args,
                 LesionDataset(args.datapath, ids,
@@ -415,7 +419,7 @@ def main(argv=None):
             )
             for i in range(k)
         ]
-        loaders = [
+        loader_objs = [
             make_train_loader(
                 args,
                 LesionDataset(args.datapath, ids, transform=augs[i],
@@ -424,6 +428,14 @@ def main(argv=None):
             )
             for i, ids in enumerate(splitter.data_cv_train)
         ]
+    loaders = [iter(lo) for lo in loader_objs]
+    # terminate MP loader workers explicitly at exit (daemon kill leaves
+    # queue feeder threads mid-put and emits noisy errors at teardown)
+    import atexit
+
+    for lo in loader_objs:
+        if hasattr(lo, "shutdown"):
+            atexit.register(lo.shutdown)
     valid_loaders = [
         iter(BatchLoader(
             LesionDataset(args.datapath, ids, transform=base_tf),
@@ -486,17 +498,21 @@ def main(argv=None):
         wire_dtype = ml_dtypes.bfloat16
 
     def batch_stream():
+        count = 0
         while True:
             b = fold_batch(loaders, device_aug)
             if isinstance(b["image"], np.ndarray):
-                if logger.tb is not None:
-                    # keep a host copy so the periodic TB grid never
-                    # pulls the device_put batch back over the tunnel
+                # keep a host copy so the periodic TB grid never pulls
+                # the device_put batch back over the tunnel — but only
+                # every 25th batch (the grid logs every 100 iters;
+                # copying tens of MB per step just burns host bandwidth)
+                if logger.tb is not None and count % 25 == 0:
                     grid_src["image"] = b["image"][0].copy()
                     grid_src["boxes"] = b["boxes"][0].copy()
                     grid_src["valid"] = b["valid"][0].copy()
                 if wire_dtype is not None:
                     b["image"] = b["image"].astype(wire_dtype)
+            count += 1
             yield b
 
     # H2D rides under compute: transfer the next batches while the

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 
@@ -63,7 +62,10 @@ def build_parser():
     p.add_argument("--lr", default=5e-4, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
     p.add_argument("--weight_decay", default=5e-4, type=float)
-    p.add_argument("--stepvalues", nargs="*", type=int, default=[5000, 8000])
+    # reference pixellink trainer default: no LR decay (:76 stepvalues
+    # default [9999999999999])
+    p.add_argument("--stepvalues", nargs="*", type=int,
+                   default=[9999999999999])
     p.add_argument("--gamma", default=0.1, type=float)
     p.add_argument("--clip", default=None, type=float)
     p.add_argument("--modify_dcn_lr", default=False, type=str2bool)
@@ -79,18 +81,63 @@ def build_parser():
     p.add_argument("--test", default=False, type=str2bool)
     p.add_argument("--checkpoint", default=None, type=int)
     p.add_argument("--confidence_threshold", default=0.01, type=float)
-    p.add_argument("--use_07_metric", default=True, type=str2bool)
+    # reference pixellink trainer default: correct-AUC AP, not the VOC07
+    # 11-point metric (:104 use_07_metric default False)
+    p.add_argument("--use_07_metric", default=False, type=str2bool)
     p.add_argument("--ap_list", default="0.5", type=str)
     p.add_argument("--iobb_list", default="0.5", type=str)
     p.add_argument("--eval_batch", default=16, type=int)
     p.add_argument("--visualize", default=False, type=str2bool,
                    help="with --test: dump x/annotation/attention/offset "
                         "npys + detection jpgs (test_ap_iobb.py:156-179)")
+    p.add_argument("--reference_recipe", default=None,
+                   choices=["pixellink", "pixellink++"],
+                   help="preset the reference PixelLink training protocol "
+                        "(trainer defaults :28-121 + paper-variant model "
+                        "flags); explicit flags still override")
     return p
 
 
+# Reference pixellink trainer defaults (:28-121) + the paper's variant
+# flags: 'pixellink' is the vanilla (ungrouped, no fusion) baseline row of
+# pics/gssdpp4.png; 'pixellink++' adds grouped conv, channel fusion,
+# spectral-norm self-attention, and attention-guided DCN.
+REFERENCE_RECIPES = {
+    "pixellink": dict(
+        vgg_groups=1, use_fuseconv=False,
+        use_self_attention=False, use_self_attention_base=False,
+        num_dcn_layers=0, groups_dcn=1, dcn_cat_sab=False,
+        batch_size=16, lr=5e-4, max_iter=10001, val_every=500,
+        stepvalues=[9999999999999], use_normalize=True,
+        use_07_metric=False, confidence_threshold=0.01,
+        model_name="pixellink",
+    ),
+    "pixellink++": dict(
+        vgg_groups=4, use_fuseconv=True,
+        use_self_attention=True, use_self_attention_base=True,
+        num_dcn_layers=1, groups_dcn=4, dcn_cat_sab=True,
+        modify_dcn_lr=True,
+        batch_size=16, lr=5e-4, max_iter=10001, val_every=500,
+        stepvalues=[9999999999999], use_normalize=True,
+        use_07_metric=False, confidence_threshold=0.01,
+        model_name="pixellink_plusplus",
+    ),
+}
+
+
+def parse_args(argv=None):
+    """Two-pass parse (train.py pattern): install the recipe flag set as
+    defaults, then re-parse so explicit flags still win."""
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.reference_recipe is not None:
+        parser.set_defaults(**REFERENCE_RECIPES[args.reference_recipe])
+        args = parser.parse_args(argv)
+    return args
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    args = parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -273,21 +320,23 @@ def main(argv=None):
     def make_train_loader(ds, seed):
         """--num_workers > 1 selects the multi-process loader (reference
         DataLoader(num_workers) analog); see train.py for determinism
-        notes."""
+        notes. start_batch gives exact-resume of the MP data stream
+        (mirrors train.py)."""
         from gssd_tpu.data.dataset import MPBatchLoader
 
         if getattr(args, "num_workers", 1) > 1:
-            return iter(MPBatchLoader(
+            return MPBatchLoader(
                 ds, args.batch_size, args.max_gt, seed=seed,
                 collate_fn=collate_pixellink,
                 num_workers=args.num_workers,
-            ))
-        return iter(BatchLoader(
+                start_batch=args.resume or 0,
+            )
+        return BatchLoader(
             ds, args.batch_size, args.max_gt, seed=seed,
             collate_fn=collate_pixellink,
-        ))
+        )
 
-    loaders = [
+    loader_objs = [
         make_train_loader(
             LesionDataset(args.datapath, ids, transform=augs[i],
                           load_to_ram=args.load_data_to_ram),
@@ -295,6 +344,7 @@ def main(argv=None):
         )
         for i, ids in enumerate(splitter.data_cv_train)
     ]
+    loaders = [iter(lo) for lo in loader_objs]
 
     # valid-loss loaders: augmentation transform so the pixel/link
     # target maps are generated (reference valid loop :290-321 feeds the
@@ -325,7 +375,29 @@ def main(argv=None):
         bs = [next(it) for it in iters]
         return {key: np.stack([b[key] for b in bs]) for key in bs[0]}
 
-    t_start = time.perf_counter()
+    try:
+        _train_loop(args, k, start_iter, loaders, valid_loaders, stacked,
+                    train_step, eval_step, fold_batch, logger, eval_fold,
+                    valid_sets, test_set, ckpt_dir)
+    finally:
+        # terminate MP loader workers explicitly (daemon kill at exit
+        # leaves queue feeder threads mid-put and emits noisy errors)
+        for lo in loader_objs:
+            if hasattr(lo, "shutdown"):
+                lo.shutdown()
+        logger.close()
+
+
+def _train_loop(args, k, start_iter, loaders, valid_loaders, stacked,
+                train_step, eval_step, fold_batch, logger, eval_fold,
+                valid_sets, test_set, ckpt_dir):
+    import json
+
+    import numpy as np
+
+    from gssd_tpu.parallel.folds import unstack_state
+    from gssd_tpu.train.checkpoint import save_checkpoint
+
     for iteration in range(start_iter, args.max_iter):
         batch = fold_batch(loaders)
         stacked, metrics = train_step(stacked, batch)
@@ -362,7 +434,6 @@ def main(argv=None):
                       for key in accum[0][1]}
             print(f"iter {iteration} valid: {json.dumps(mean_v)}")
             print(f"iter {iteration} test:  {json.dumps(mean_t)}")
-    logger.close()
 
 
 if __name__ == "__main__":
