@@ -153,10 +153,12 @@ class ModelConfig:
     anchors: str = "v2"
     # compute dtype for conv/matmul activations; params stay f32
     compute_dtype: str = "bfloat16"
-    # deformable-conv core: 'fused' (default; patch-gather fwd +
-    # analytic offset grads + Pallas matmul dx — 1.75x the 'xla' path on
-    # v5e), 'xla' (4-corner gather, exact f32 grads), or 'pallas'
-    # (hat-matrix MXU sampler end to end)
+    # deformable-conv core: 'hat' (default; single-dispatch hat-matrix
+    # Pallas kernel — all 9 taps in one forward, one merged backward,
+    # H*W-deep MXU contractions, no gather/scatter), 'fused'
+    # (patch-gather fwd + analytic offset grads + Pallas matmul dx),
+    # 'xla' (4-corner gather, exact f32 grads — the parity reference),
+    # or 'pallas' (per-tap bilinear-sample kernel, historical)
     dcn_impl: str = "hat"
 
     def __post_init__(self):

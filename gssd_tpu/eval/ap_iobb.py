@@ -161,8 +161,14 @@ def _stream_batches(dataset, transform, batch_size: int,
             images.append(
                 np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c))
             sizes.append((raw.shape[2], raw.shape[1]))  # (W, H)
+        # pad the tail chunk to the static batch size with zeros (the
+        # compiled infer executable has a fixed shape, so the pad rows
+        # are computed regardless; zeros keep them semantically inert
+        # and consumers only read the first len(sizes) rows)
         pad = batch_size - len(images)
-        batch = np.stack(images + [images[-1]] * pad).astype(np.float32)
+        if pad:
+            images += [np.zeros_like(images[-1])] * pad
+        batch = np.stack(images).astype(np.float32)
         yield start, batch, sizes
 
 

@@ -56,7 +56,10 @@ DEFAULT_TP = 128
 CHUNK = 1536
 
 
-def _pick_tp(HW: int, Pp: int) -> int:
+def _pick_tp(Pp: int) -> int:
+    """Row-tile size: 128 sublanes unless the (padded) prior count is
+    smaller. Independent of feature-map size — the H*W axis is handled
+    by CHUNK-column slicing, not by shrinking the row tile."""
     return min(DEFAULT_TP, Pp)
 
 
@@ -132,7 +135,7 @@ def _fwd_impl(py, px, m, xf, wg, W):
     B, G, Pp, K = py.shape
     HW, Cg = xf.shape[2], xf.shape[3]
     Cout = wg.shape[2]
-    TP = _pick_tp(HW, Pp)
+    TP = _pick_tp(Pp)
     flops = 2 * B * G * K * Pp * HW * Cg + 2 * B * Pp * G * K * Cg * Cout
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, K, W),
@@ -252,7 +255,7 @@ def _make_hat_core(W: int):
         B, G, Pp, K = py.shape
         HW, Cg = xf.shape[2], xf.shape[3]
         Cout = wg.shape[2]
-        TP = _pick_tp(HW, Pp)
+        TP = _pick_tp(Pp)
         bwd_params = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
         g = g.astype(jnp.float32)
@@ -336,7 +339,7 @@ def deform_conv2d_hat(
     px = to_bgpk(jnp.broadcast_to(px, (B, Ho, Wo, G, K)))
     m = to_bgpk(mask.astype(jnp.float32))
 
-    TP = _pick_tp(HW, _cdiv(P, 8) * 8)
+    TP = _pick_tp(_cdiv(P, 8) * 8)
     Pp = _cdiv(P, TP) * TP
     if Pp != P:
         pad = ((0, 0), (0, 0), (0, Pp - P), (0, 0))
