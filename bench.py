@@ -11,7 +11,13 @@ fwd+bwd throughput on this host's CPU (the reference stack is
 torch-only; no GPU exists here). The torch number is measured once and
 cached in BENCH_TORCH_BASELINE.json.
 
-Usage: python bench.py [--iters N] [--batch B] [--skip-torch]
+The line also carries ``mfu`` (model FLOPs utilization: XLA cost-model
+FLOPs of the whole compiled train step / wall time / chip bf16 peak)
+and, in the default size-300 run, a nested ``cfg512_b8`` measurement of
+the BASELINE.json north-star config (4-phase 512x512 slices).
+
+Usage: python bench.py [--iters N] [--batch B] [--size {300,512}]
+                       [--skip-torch] [--skip-512]
 """
 
 from __future__ import annotations
@@ -134,7 +140,35 @@ def measure_torch_cpu(batch: int = 4, iters: int = 3) -> float:
     return batch * iters / dt
 
 
-def measure_jax(batch: int, iters: int) -> float:
+# bf16 peak TFLOP/s per chip by device kind (vendor specs); used for the
+# MFU line. Unknown kinds report mfu=null rather than a wrong number.
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e
+}
+
+
+def _step_flops(compiled) -> float | None:
+    """Total FLOPs of one compiled train step (fwd+bwd+update) from
+    XLA's HLO cost analysis. Returns None if the backend doesn't
+    report it."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", -1))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def measure_jax(batch: int, iters: int, size: int = 300):
+    """Returns (slices_per_sec, mfu_or_None, flops_per_step_or_None)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -143,11 +177,11 @@ def measure_jax(batch: int, iters: int) -> float:
     from gssd_tpu.train import create_train_state, make_train_step
     from __graft_entry__ import _flagship_cfg
 
-    cfg = _flagship_cfg()
+    cfg = dataclasses.replace(_flagship_cfg(), size=size)
     model, priors = build_model(cfg)
     state = create_train_state(
         model, jax.random.PRNGKey(0),
-        jnp.zeros((1, 300, 300, 12), jnp.float32), OptimConfig(),
+        jnp.zeros((1, size, size, 12), jnp.float32), OptimConfig(),
     )
     step = jax.jit(make_train_step(model, priors, LossConfig(), OptimConfig()),
                    donate_argnums=(0,))
@@ -155,38 +189,56 @@ def measure_jax(batch: int, iters: int) -> float:
     rng = np.random.default_rng(0)
     batch_data = {
         "image": jnp.asarray(
-            rng.uniform(0, 1, (batch, 300, 300, 12)).astype(np.float32)),
+            rng.uniform(0, 1, (batch, size, size, 12)).astype(np.float32)),
         "boxes": jnp.asarray(
             np.tile(np.asarray([0.3, 0.3, 0.6, 0.6], np.float32),
                     (batch, 1, 1))),
         "labels": jnp.zeros((batch, 1), jnp.int32),
         "valid": jnp.ones((batch, 1), bool),
     }
+    compiled = step.lower(state, batch_data).compile()
+    flops = _step_flops(compiled)
     # warmup / compile, then a burn-in loop: the tunneled device inflates
     # the first ~400 ms of dispatch after an executable starts running
     # (one-time session warmup, not steady-state step time)
-    state, metrics = step(state, batch_data)
+    state, metrics = compiled(state, batch_data)
     jax.block_until_ready(metrics["loss"])
     for _ in range(8):
-        state, metrics = step(state, batch_data)
+        state, metrics = compiled(state, batch_data)
     float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = step(state, batch_data)
+        state, metrics = compiled(state, batch_data)
     float(metrics["loss"])  # D2H sync (block_until_ready is a no-op
     # over the tunnel; the donated state chains the steps)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    sps = batch * iters / dt
+
+    mfu = None
+    if flops is not None:
+        kind = jax.devices()[0].device_kind
+        peak = PEAK_BF16_FLOPS.get(kind)
+        if peak:
+            mfu = flops * iters / dt / peak
+    return sps, mfu, flops
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 32 at size 300, 8 at size 512")
+    ap.add_argument("--size", type=int, default=300, choices=[300, 512],
+                    help="input resolution; 512 is the BASELINE.json "
+                         "north-star config (4-phase 512x512 slices)")
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-512", action="store_true",
+                    help="omit the secondary 512 measurement from the "
+                         "default (size-300) run")
     args = ap.parse_args()
+    batch = args.batch or (32 if args.size == 300 else 8)
 
-    tpu_sps = measure_jax(args.batch, args.iters)
+    tpu_sps, mfu, flops = measure_jax(batch, args.iters, args.size)
 
     torch_sps = None
     if os.path.exists(BASELINE_CACHE):
@@ -200,12 +252,27 @@ def main():
                                f"{os.cpu_count()} cpu core(s)"}, f)
     vs = tpu_sps / torch_sps if torch_sps else None
 
-    print(json.dumps({
-        "metric": "gssd++_train_slices_per_sec_b{}".format(args.batch),
+    line = {
+        "metric": f"gssd++_train_slices_per_sec_{args.size}_b{batch}",
         "value": round(tpu_sps, 2),
         "unit": "slices/s",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_step": flops,
+    }
+    if args.size == 300 and not args.skip_512:
+        # the BASELINE metric is 512-denominated; report it alongside
+        # the (reference-recipe) 300 config in the same single JSON line
+        try:
+            sps512, mfu512, flops512 = measure_jax(8, args.iters, 512)
+            line["cfg512_b8"] = {
+                "slices_per_sec": round(sps512, 2),
+                "mfu": round(mfu512, 4) if mfu512 is not None else None,
+                "flops_per_step": flops512,
+            }
+        except Exception as e:  # never lose the primary line
+            line["cfg512_b8"] = {"error": str(e)[:200]}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
