@@ -119,7 +119,8 @@ def build_parser():
     p.add_argument("--eval_batch", default=None, type=int,
                    help="inference batch for AP eval (default 16; 4 on "
                         "the axon backend, whose worker crashes loading "
-                        "the full infer executable at b16 — STATUS.md)")
+                        "the full infer executable at b16 — STATUS.md). "
+                        "The GSSD_EVAL_BATCH env var overrides both")
     p.add_argument("--warmup_eval", default=False, type=str2bool,
                    help="pre-compile eval/infer executables at startup")
     p.add_argument("--reference_recipe", default=None,
@@ -229,10 +230,14 @@ def main(argv=None):
     k = args.cross_validation
     ap_list = [float(t) for t in args.ap_list.split(",")]
     iobb_list = [float(t) for t in args.iobb_list.split(",")]
-    if args.eval_batch is None:
+    on_axon = "axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if os.environ.get("GSSD_EVAL_BATCH"):
+        # env override outranks the heuristic (STATUS r2 lead: lets an
+        # operator tune eval chunking without editing run commands)
+        args.eval_batch = int(os.environ["GSSD_EVAL_BATCH"])
+    elif args.eval_batch is None:
         # the tunneled axon worker crashes loading the full infer
         # executable at b16 once degraded (STATUS.md); b4 is reliable
-        on_axon = "axon" in os.environ.get("JAX_PLATFORMS", "").lower()
         args.eval_batch = 4 if on_axon else 16
 
     logger = MetricsLogger(os.path.join(args.output, "logs", args.model_name))
@@ -582,6 +587,14 @@ def main(argv=None):
             # crashed", the eval compile exceeded worker memory on top
             # of the live training state — lower --eval_batch /
             # --batch_size (see STATUS.md #6)
+            if on_axon:
+                # don't launch the eval executables into a worker
+                # outage; probe and wait it out (self-recovers)
+                from gssd_tpu.utils.device_health import (
+                    wait_for_healthy_device,
+                )
+
+                wait_for_healthy_device()
             vbatch = fold_batch(valid_loaders)
             vm = eval_step(stacked, vbatch)
             logger.log_scalars(

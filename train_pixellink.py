@@ -86,7 +86,9 @@ def build_parser():
     p.add_argument("--use_07_metric", default=False, type=str2bool)
     p.add_argument("--ap_list", default="0.5", type=str)
     p.add_argument("--iobb_list", default="0.5", type=str)
-    p.add_argument("--eval_batch", default=16, type=int)
+    p.add_argument("--eval_batch", default=16, type=int,
+                   help="inference batch for AP eval; the "
+                        "GSSD_EVAL_BATCH env var overrides")
     p.add_argument("--visualize", default=False, type=str2bool,
                    help="with --test: dump x/annotation/attention/offset "
                         "npys + detection jpgs (test_ap_iobb.py:156-179)")
@@ -174,6 +176,9 @@ def main(argv=None):
     k = args.cross_validation
     ap_list = [float(t) for t in args.ap_list.split(",")]
     iobb_list = [float(t) for t in args.iobb_list.split(",")]
+    if os.environ.get("GSSD_EVAL_BATCH"):
+        # env override (same contract as train.py)
+        args.eval_batch = int(os.environ["GSSD_EVAL_BATCH"])
 
     logger = MetricsLogger(os.path.join(args.output, "logs", args.model_name))
     logger.log_args(vars(args))
@@ -410,6 +415,12 @@ def _train_loop(args, k, start_iter, loaders, valid_loaders, stacked,
         last = iteration == args.max_iter - 1
         if ((iteration % args.val_every == 0 and iteration > start_iter)
                 or last) and iteration >= args.speedrun:
+            if "axon" in os.environ.get("JAX_PLATFORMS", "").lower():
+                from gssd_tpu.utils.device_health import (
+                    wait_for_healthy_device,
+                )
+
+                wait_for_healthy_device()
             vbatch = fold_batch(valid_loaders)
             vm = eval_step(stacked, vbatch)
             logger.log_scalars(
