@@ -34,10 +34,18 @@ class H5LesionDataset:
                     else None
                 for i in range(cts.shape[0]):
                     self._images.append(cts[i].astype(np.float32))
-                    if labels is not None and labels.ndim >= 2:
-                        t = np.asarray(labels[i], np.float32).reshape(-1, 5) \
-                            if labels[i].size % 5 == 0 else \
-                            np.zeros((0, 5), np.float32)
+                    if labels is None or labels.ndim < 2:
+                        t = np.zeros((0, 5), np.float32)
+                    elif labels[i].ndim == 3 and labels[i].shape[-1] == 5:
+                        # v1 ROI-era coordinate tensor [phase, channel, 5]
+                        # (preprocessing/legacy_v1.py): boxes come from
+                        # the middle slice of one phase (the DEPRECATED
+                        # trainer's convention, :128-132)
+                        mid = labels[i].shape[1] // 2
+                        t = np.asarray(labels[i][0, mid], np.float32
+                                       ).reshape(-1, 5)
+                    elif labels[i].size % 5 == 0:
+                        t = np.asarray(labels[i], np.float32).reshape(-1, 5)
                     else:
                         t = np.zeros((0, 5), np.float32)
                     self._targets.append(t)
