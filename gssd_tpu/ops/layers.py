@@ -38,7 +38,12 @@ def max_pool(
     x: jnp.ndarray, window: int = 2, stride: int = 2, ceil_mode: bool = False,
     padding: int = 0,
 ) -> jnp.ndarray:
-    """NHWC max pool with torch-style ceil_mode / symmetric int padding."""
+    """NHWC max pool with torch-style ceil_mode / symmetric int padding.
+
+    Lowered via reduce_window. (A strided-slice max formulation was
+    measured 2.3x SLOWER fwd+bwd at 300^2x64 on v5e — stride-2 slicing
+    of sublane dims relayouts; scripts/exp_stem3.py round-3 notes.)
+    """
     h, w = x.shape[1], x.shape[2]
     if padding:
         pad = [(padding, padding), (padding, padding)]
@@ -125,9 +130,52 @@ class _BlockDiagConv(nn.Module):
         return y + b.astype(self.dtype)
 
 
+class _PallasWideConv(nn.Module):
+    """3x3/s1/same conv via the Pallas im2col-in-VMEM kernel
+    (ops/pallas/stem_conv.py). Parameter layout identical to the
+    grouped nn.Conv / _BlockDiagConv ([3, 3, Cin/G, Cout] + bias), so
+    checkpoints and weight transplants are lowering-independent."""
+
+    features: int
+    groups: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        from gssd_tpu.ops.pallas.stem_conv import (
+            conv3x3_wide,
+            pack_weights,
+        )
+
+        cgi = x.shape[-1] // self.groups
+        w = self.param("kernel", xavier_uniform,
+                       (3, 3, cgi, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return conv3x3_wide(
+            x.astype(self.dtype),
+            pack_weights(w, self.groups).astype(self.dtype),
+            b)
+
+
+# The Pallas wide-conv path is DISABLED pending a formulation that
+# beats XLA: measured on v5e (scripts/exp_stemk.py), every Mosaic
+# patch-assembly structure tried (scratch-staged im2col 35 ms,
+# per-tap dots 21 ms, dy-concat+3-dots 14 ms fwd @300^2x64 b32) loses
+# to XLA's own conv (8.3 ms fwd) — sublane-shifted operand relayouts
+# dominate. Kept behind this flag with full tests for future Mosaic
+# versions.
+USE_PALLAS_WIDE_CONV = False
+
 # grouped convs switch to the block-diagonal dense form at or above
 # this many spatial positions (crossover measured on v5e)
 DENSE_GROUPS_MIN_HW = 5000
+# ... but only when the per-group contraction depth is too shallow for
+# the MXU. Measured on v5e (scripts/exp_trunk3.py, fwd+bwd b32):
+# 150^2 128ch (cin/g=32): grouped 10.1 ms vs dense 3.7 ms — dense wins;
+# 75^2 256ch (cin/g=64): grouped 3.6 ms vs dense 4.0 ms — grouped wins;
+# 38^2 512ch (cin/g=128): grouped 2.3 ms vs dense 4.4 ms.
+DENSE_GROUPS_MAX_CIN_PER_GROUP = 64
 
 
 class ConvBNRelu(nn.Module):
@@ -152,7 +200,22 @@ class ConvBNRelu(nn.Module):
         out_hw = ((x.shape[1] + pad[0][0] + pad[0][1] - ek) // self.stride
                   + 1) * (
             (x.shape[2] + pad[1][0] + pad[1][1] - ek) // self.stride + 1)
-        if self.groups > 1 and out_hw >= DENSE_GROUPS_MIN_HW:
+        if (USE_PALLAS_WIDE_CONV and jax.default_backend() == "tpu"
+                and self.kernel == 3 and self.stride == 1
+                and self.dilation == 1 and pad == [(1, 1), (1, 1)]
+                and out_hw >= DENSE_GROUPS_MIN_HW
+                and x.shape[-1] <= 64 and self.features <= 64
+                and x.shape[1] > 4):
+            # stem-class site (wide spatial, narrow channels): XLA's
+            # conv lowering runs 20-26 TF/s here; the Pallas
+            # im2col-in-VMEM kernel sustains closer to the 64-lane MXU
+            # cap (ops/pallas/stem_conv.py). Same grouped param layout.
+            x = _PallasWideConv(
+                self.features, self.groups, self.dtype, name="Conv_0",
+            )(x)
+        elif (self.groups > 1 and out_hw >= DENSE_GROUPS_MIN_HW
+                and x.shape[-1] // self.groups
+                < DENSE_GROUPS_MAX_CIN_PER_GROUP):
             x = _BlockDiagConv(
                 self.features,
                 (self.kernel, self.kernel),

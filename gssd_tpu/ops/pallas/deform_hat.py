@@ -48,19 +48,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TP = 128
+import os as _os
+
+DEFAULT_TP = int(_os.environ.get("GSSD_HAT_TP", "128"))
 
 # the kernels hold O(10) live [TP, CHUNK] f32 temporaries; large
 # feature maps are processed in CHUNK-column slices of the flattened
-# H*W axis so TP can stay at 128 rows regardless of map size
-CHUNK = 1536
+# H*W axis so TP can stay bounded regardless of map size
+CHUNK = int(_os.environ.get("GSSD_HAT_CHUNK", "1536"))
 
 
 def _pick_tp(Pp: int) -> int:
-    """Row-tile size: 128 sublanes unless the (padded) prior count is
-    smaller. Independent of feature-map size — the H*W axis is handled
-    by CHUNK-column slicing, not by shrinking the row tile."""
-    return min(DEFAULT_TP, Pp)
+    """Row-tile size: DEFAULT_TP sublanes unless the (padded) prior
+    count is smaller or indivisible (halve until it divides).
+    Independent of feature-map size — the H*W axis is handled by
+    CHUNK-column slicing, not by shrinking the row tile."""
+    tp = min(DEFAULT_TP, Pp)
+    while Pp % tp:
+        tp //= 2
+    return max(tp, 8)
 
 
 def _cdiv(a, b):
