@@ -89,8 +89,27 @@ def _grid_rows(CH: int, W: int, h0: int = 0):
     return qy, qx
 
 
-def _chunks(HW: int):
-    return [(h0, min(CHUNK, HW - h0)) for h0 in range(0, HW, CHUNK)]
+TARGET_CHUNKS = int(_os.environ.get("GSSD_HAT_CHUNKS", "6"))
+# Runtime chunk skipping (support test per tap x chunk). Measured
+# SLOWER on v5e Mosaic despite executing ~4x less sampling work — the
+# per-chunk scalar conditions stall the pipeline (fwd 53 -> 140 ms at
+# the flagship site under identical conditions). Kept behind this env
+# flag for future Mosaic versions / sparse-offset regimes.
+HAT_SKIP = _os.environ.get("GSSD_HAT_SKIP", "0") == "1"
+
+
+def _chunks(HW: int, W: int = 0):
+    """Chunks of the flattened H*W axis: (h0, length). With HAT_SKIP,
+    chunks are row-aligned and target TARGET_CHUNKS per map so the
+    kernels' support test can skip non-contributing chunks exactly;
+    otherwise one CHUNK-bounded slab (fewer, bigger MXU dots)."""
+    if HAT_SKIP and W:
+        rows = HW // W
+        step = max(2, -(-rows // TARGET_CHUNKS)) * W
+        step = min(step, max(1, CHUNK // W) * W)
+    else:
+        step = CHUNK
+    return [(h0, min(step, HW - h0)) for h0 in range(0, HW, step)]
 
 
 def _hats(py_col, px_col, qy, qx):
@@ -120,13 +139,33 @@ def _fwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref):
     Cout = w_ref.shape[2]
     acc = jnp.zeros((TP, Cout), jnp.float32)
     for k in range(K):
+        pyk = py[:, k:k + 1]
+        pxk = px[:, k:k + 1]
+        mk = m[:, k:k + 1]
+        # hat support for this tap spans rows floor(py)..floor(py)+1
+        # only: chunks outside [lo, hi] contribute exact zeros and are
+        # skipped at runtime (data-adaptive; offsets are small in
+        # practice, so most of the dense H*W axis never executes)
+        fl = jnp.floor(pyk)
+        lo = jnp.min(fl)
+        hi = jnp.max(fl) + 1.0
         samp = jnp.zeros((TP, Cg), jnp.float32)
-        for h0, ch in _chunks(HW):
-            qy, qx = _grid_rows(ch, W, h0)
-            ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
-            s = (ay * bx * m[:, k:k + 1]).astype(jnp.bfloat16)
-            samp = samp + jnp.dot(s, xf[h0:h0 + ch],
-                                  preferred_element_type=jnp.float32)
+        for h0, ch in _chunks(HW, W):
+            def _active(h0=h0, ch=ch, pyk=pyk, pxk=pxk, mk=mk):
+                qy, qx = _grid_rows(ch, W, h0)
+                ay, bx = _hats(pyk, pxk, qy, qx)
+                s = (ay * bx * mk).astype(jnp.bfloat16)
+                return jnp.dot(s, xf[h0:h0 + ch],
+                               preferred_element_type=jnp.float32)
+
+            if HAT_SKIP:
+                r0, r1 = h0 // W, (h0 + ch - 1) // W
+                cond = (hi >= r0) & (lo <= r1)
+                samp = samp + jax.lax.cond(
+                    cond, _active,
+                    lambda: jnp.zeros((TP, Cg), jnp.float32))
+            else:
+                samp = samp + _active()
         acc = acc + jnp.dot(samp.astype(jnp.bfloat16),
                             w_ref[0, k * Cg:(k + 1) * Cg],
                             preferred_element_type=jnp.float32)
@@ -180,7 +219,8 @@ def _dhat(p_col, q):
 
 
 def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
-                dpy_ref, dpx_ref, dm_ref, dx_ref, dw_ref):
+                dpy_ref, dpx_ref, dm_ref, dx_ref, dw_ref,
+                samp_s, acc3_s):
     """One pass for all five cotangents. Grid (G, B, T): dx accumulates
     over the innermost t steps; dW accumulates over (b, t) for each
     group; the hat recompute and dU are shared by every term."""
@@ -207,33 +247,70 @@ def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
 
     for k in range(K):
         mk = m[:, k:k + 1]
+        pyk = py[:, k:k + 1]
+        pxk = px[:, k:k + 1]
         dU_k = dU[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16)
-        dm_a = jnp.zeros_like(mk)
-        dpy_a = jnp.zeros_like(mk)
-        dpx_a = jnp.zeros_like(mk)
-        samp = jnp.zeros((py.shape[0], Cg), jnp.float32)
-        for h0, ch in _chunks(HW):
+
+        def _chunk_terms(h0, ch):
+            """Per-chunk contributions (dm, dpy, dpx additions are the
+            returned row vectors; dx write happens in place)."""
             qy, qx = _grid_rows(ch, W, h0)
-            ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
+            ay, bx = _hats(pyk, pxk, qy, qx)
             xfc = xf[h0:h0 + ch]
             # dS_k = dU_k @ xf^T  [TP, CH]
             dS = jax.lax.dot_general(
                 dU_k, xfc, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             s0 = ay * bx
-            dm_a += jnp.sum(dS * s0, axis=1, keepdims=True)
             mdS = dS * mk
-            day = _dhat(py[:, k:k + 1], qy)
-            dpy_a += jnp.sum(mdS * day * bx, axis=1, keepdims=True)
-            dbx = _dhat(px[:, k:k + 1], qx)
-            dpx_a += jnp.sum(mdS * ay * dbx, axis=1, keepdims=True)
+            day = _dhat(pyk, qy)
+            dbx = _dhat(pxk, qx)
+            dm_c = jnp.sum(dS * s0, axis=1, keepdims=True)
+            dpy_c = jnp.sum(mdS * day * bx, axis=1, keepdims=True)
+            dpx_c = jnp.sum(mdS * ay * dbx, axis=1, keepdims=True)
             s_b = (s0 * mk).astype(jnp.bfloat16)
             # dx += S_k^T @ dU_k  [CH, Cg]
             dx_ref[0, 0, h0:h0 + ch] += jax.lax.dot_general(
                 s_b, dU_k, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            samp = samp + jnp.dot(s_b, xfc,
-                                  preferred_element_type=jnp.float32)
+            samp_c = jnp.dot(s_b, xfc, preferred_element_type=jnp.float32)
+            return dm_c, dpy_c, dpx_c, samp_c
+
+        if HAT_SKIP:
+            # scratch accumulators so each chunk's work sits under ONE
+            # runtime support test: acc3 col 0 = dm, 1 = dpy, 2 = dpx
+            samp_s[:] = jnp.zeros_like(samp_s[:])
+            acc3_s[:] = jnp.zeros_like(acc3_s[:])
+            fl = jnp.floor(pyk)
+            lo = jnp.min(fl)
+            hi = jnp.max(fl) + 1.0
+            for h0, ch in _chunks(HW, W):
+                r0, r1 = h0 // W, (h0 + ch - 1) // W
+
+                @pl.when((hi >= r0) & (lo <= r1))
+                def _(h0=h0, ch=ch):
+                    dm_c, dpy_c, dpx_c, samp_c = _chunk_terms(h0, ch)
+                    acc3_s[:, 0:1] += dm_c
+                    acc3_s[:, 1:2] += dpy_c
+                    acc3_s[:, 2:3] += dpx_c
+                    samp_s[:] += samp_c
+
+            dm_a = acc3_s[:, 0:1]
+            dpy_a = acc3_s[:, 1:2]
+            dpx_a = acc3_s[:, 2:3]
+            samp = samp_s[:]
+        else:
+            dm_a = jnp.zeros_like(mk)
+            dpy_a = jnp.zeros_like(mk)
+            dpx_a = jnp.zeros_like(mk)
+            samp = jnp.zeros((py.shape[0], Cg), jnp.float32)
+            for h0, ch in _chunks(HW, W):
+                dm_c, dpy_c, dpx_c, samp_c = _chunk_terms(h0, ch)
+                dm_a += dm_c
+                dpy_a += dpy_c
+                dpx_a += dpx_c
+                samp = samp + samp_c
+
         dm_ref[0, 0, :, k:k + 1] = dm_a
         dpy_ref[0, 0, :, k:k + 1] = dpy_a
         dpx_ref[0, 0, :, k:k + 1] = dpx_a
@@ -290,6 +367,10 @@ def _make_hat_core(W: int):
                 jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
                 jax.ShapeDtypeStruct((B, G, HW, Cg), jnp.float32),
                 jax.ShapeDtypeStruct((G, K * Cg, Cout), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TP, Cg), jnp.float32),
+                pltpu.VMEM((TP, 8), jnp.float32),
             ],
             compiler_params=bwd_params,
             interpret=_interpret(),
@@ -349,8 +430,11 @@ def deform_conv2d_hat(
     Pp = _cdiv(P, TP) * TP
     if Pp != P:
         pad = ((0, 0), (0, 0), (0, Pp - P), (0, 0))
-        py = jnp.pad(py, pad)
-        px = jnp.pad(px, pad)
+        # edge-pad the coords (not zeros) so the padded rows don't
+        # widen the kernels' chunk-support range; m pads with zeros so
+        # padded rows contribute nothing
+        py = jnp.pad(py, pad, mode="edge")
+        px = jnp.pad(px, pad, mode="edge")
         m = jnp.pad(m, pad)
 
     xf = jnp.transpose(
