@@ -235,6 +235,8 @@ def main():
     ap.add_argument("--skip-512", action="store_true",
                     help="omit the secondary 512 measurement from the "
                          "default (size-300) run")
+    ap.add_argument("--internal-json", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
     batch = args.batch or (32 if args.size == 300 else 8)
 
@@ -250,7 +252,10 @@ def main():
             json.dump({"torch_cpu_slices_per_sec": torch_sps,
                        "note": "GSSD++-equivalent fwd+bwd, batch 4, "
                                f"{os.cpu_count()} cpu core(s)"}, f)
-    vs = tpu_sps / torch_sps if torch_sps else None
+    # the torch-CPU baseline is measured at the 300^2 config; a
+    # cross-resolution ratio would be misleading, so only the size-300
+    # run reports vs_baseline
+    vs = tpu_sps / torch_sps if (torch_sps and args.size == 300) else None
 
     line = {
         "metric": f"gssd++_train_slices_per_sec_{args.size}_b{batch}",
@@ -260,15 +265,31 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "flops_per_step": flops,
     }
+    if args.internal_json:
+        print(json.dumps(line))
+        return
     if args.size == 300 and not args.skip_512:
         # the BASELINE metric is 512-denominated; report it alongside
-        # the (reference-recipe) 300 config in the same single JSON line
+        # the (reference-recipe) 300 config in the same single JSON
+        # line. Run it in a SUBPROCESS so a worker abort/hang during
+        # the (much bigger) 512 executable can never lose the already-
+        # measured primary result (the tunneled worker is known to
+        # rc=134 or stall on large programs when degraded).
+        import subprocess
+        import sys
+
         try:
-            sps512, mfu512, flops512 = measure_jax(8, args.iters, 512)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--size", "512", "--iters", str(args.iters),
+                 "--skip-torch", "--internal-json"],
+                capture_output=True, text=True, timeout=2400,
+            )
+            sub = json.loads(out.stdout.strip().splitlines()[-1])
             line["cfg512_b8"] = {
-                "slices_per_sec": round(sps512, 2),
-                "mfu": round(mfu512, 4) if mfu512 is not None else None,
-                "flops_per_step": flops512,
+                "slices_per_sec": sub["value"],
+                "mfu": sub["mfu"],
+                "flops_per_step": sub["flops_per_step"],
             }
         except Exception as e:  # never lose the primary line
             line["cfg512_b8"] = {"error": str(e)[:200]}

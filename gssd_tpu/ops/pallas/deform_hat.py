@@ -59,10 +59,11 @@ CHUNK = int(_os.environ.get("GSSD_HAT_CHUNK", "1536"))
 
 
 def _pick_tp(Pp: int) -> int:
-    """Row-tile size: DEFAULT_TP sublanes unless the (padded) prior
-    count is smaller or indivisible (halve until it divides).
-    Independent of feature-map size — the H*W axis is handled by
-    CHUNK-column slicing, not by shrinking the row tile."""
+    """Row-tile size for the kernel impls: DEFAULT_TP sublanes. Pp
+    arrives already padded to a TP multiple by deform_conv2d_hat, so
+    the halving loop is a safety net only — it must NEVER trigger on
+    the entry-point's raw prior count (P=1444 -> ceil8 1448 = 8*181
+    would collapse the tile to 8 rows and 15x the grid)."""
     tp = min(DEFAULT_TP, Pp)
     while Pp % tp:
         tp //= 2
@@ -426,7 +427,9 @@ def deform_conv2d_hat(
     px = to_bgpk(jnp.broadcast_to(px, (B, Ho, Wo, G, K)))
     m = to_bgpk(mask.astype(jnp.float32))
 
-    TP = _pick_tp(_cdiv(P, 8) * 8)
+    # choose the tile first, then pad P up to a multiple of it (the
+    # divisibility-safety halving in _pick_tp must not see the raw P)
+    TP = min(DEFAULT_TP, _cdiv(P, 8) * 8)
     Pp = _cdiv(P, TP) * TP
     if Pp != P:
         pad = ((0, 0), (0, 0), (0, Pp - P), (0, 0))

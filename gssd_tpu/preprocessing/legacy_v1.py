@@ -93,7 +93,15 @@ def generate_v1_subject(
                        np.float32).reshape(-1)
         if c.size == 4:  # no label column in the pickle -> class 0
             c = np.concatenate([c, [0.0]]).astype(np.float32)
-        coords.append(c[:5])
+        elif c.size != 5:
+            # the v1 h5 layout holds exactly one box per slice
+            # ([sample, phase, channel, 5]); a multi-box pickle would
+            # crash the reference generator (ragged np.array) — fail
+            # loudly rather than silently truncate
+            raise ValueError(
+                f"{subject}/{roi_name}: expected one [4] or [5] box "
+                f"per slice, got {c.size} values")
+        coords.append(c)
     if len(slices) < 3:
         return (np.zeros((0, 4, 3) + (slices[0].shape if slices else
                                       (512, 512)), np.float32),
