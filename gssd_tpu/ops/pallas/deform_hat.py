@@ -91,20 +91,23 @@ def _grid_rows(CH: int, W: int, h0: int = 0):
 
 
 TARGET_CHUNKS = int(_os.environ.get("GSSD_HAT_CHUNKS", "6"))
-# Runtime chunk skipping (support test per tap x chunk). Measured
-# SLOWER on v5e Mosaic despite executing ~4x less sampling work — the
-# per-chunk scalar conditions stall the pipeline (fwd 53 -> 140 ms at
-# the flagship site under identical conditions). Kept behind this env
-# flag for future Mosaic versions / sparse-offset regimes.
-HAT_SKIP = _os.environ.get("GSSD_HAT_SKIP", "0") == "1"
+# Runtime chunk skipping: an exact per-(tap, chunk) support test
+# (skipped hats are provably all-zero). Measured on v5e (flagship
+# conv4_3 site, b32, like-for-like): the BACKWARD wins big (fwd+bwd
+# 60.8 -> 51.4 ms with both directions skipped, and the fwd portion
+# got SLOWER, so the bwd saving alone is ~15 ms) while the FORWARD
+# loses (15.9 -> 21.5 ms — the lax.cond per chunk costs more than the
+# skipped [TP, CH] dot saves). Default: skip in bwd only.
+HAT_SKIP_FWD = _os.environ.get("GSSD_HAT_SKIP_FWD", "0") == "1"
+HAT_SKIP_BWD = _os.environ.get("GSSD_HAT_SKIP_BWD", "1") == "1"
 
 
-def _chunks(HW: int, W: int = 0):
-    """Chunks of the flattened H*W axis: (h0, length). With HAT_SKIP,
+def _chunks(HW: int, W: int = 0, skip: bool = False):
+    """Chunks of the flattened H*W axis: (h0, length). With skip,
     chunks are row-aligned and target TARGET_CHUNKS per map so the
     kernels' support test can skip non-contributing chunks exactly;
     otherwise one CHUNK-bounded slab (fewer, bigger MXU dots)."""
-    if HAT_SKIP and W:
+    if skip and W:
         rows = HW // W
         step = max(2, -(-rows // TARGET_CHUNKS)) * W
         step = min(step, max(1, CHUNK // W) * W)
@@ -151,7 +154,7 @@ def _fwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref):
         lo = jnp.min(fl)
         hi = jnp.max(fl) + 1.0
         samp = jnp.zeros((TP, Cg), jnp.float32)
-        for h0, ch in _chunks(HW, W):
+        for h0, ch in _chunks(HW, W, skip=HAT_SKIP_FWD):
             def _active(h0=h0, ch=ch, pyk=pyk, pxk=pxk, mk=mk):
                 qy, qx = _grid_rows(ch, W, h0)
                 ay, bx = _hats(pyk, pxk, qy, qx)
@@ -159,7 +162,7 @@ def _fwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref):
                 return jnp.dot(s, xf[h0:h0 + ch],
                                preferred_element_type=jnp.float32)
 
-            if HAT_SKIP:
+            if HAT_SKIP_FWD:
                 r0, r1 = h0 // W, (h0 + ch - 1) // W
                 cond = (hi >= r0) & (lo <= r1)
                 samp = samp + jax.lax.cond(
@@ -277,7 +280,7 @@ def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
             samp_c = jnp.dot(s_b, xfc, preferred_element_type=jnp.float32)
             return dm_c, dpy_c, dpx_c, samp_c
 
-        if HAT_SKIP:
+        if HAT_SKIP_BWD:
             # scratch accumulators so each chunk's work sits under ONE
             # runtime support test: acc3 col 0 = dm, 1 = dpy, 2 = dpx
             samp_s[:] = jnp.zeros_like(samp_s[:])
@@ -285,7 +288,7 @@ def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
             fl = jnp.floor(pyk)
             lo = jnp.min(fl)
             hi = jnp.max(fl) + 1.0
-            for h0, ch in _chunks(HW, W):
+            for h0, ch in _chunks(HW, W, skip=True):
                 r0, r1 = h0 // W, (h0 + ch - 1) // W
 
                 @pl.when((hi >= r0) & (lo <= r1))
