@@ -78,13 +78,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _grid_rows(CH: int, W: int, h0: int = 0):
+def _grid_rows(CH: int, W: int, h0=0):
     """(qy, qx) f32 row vectors [1, CH] for columns [h0, h0+CH) of the
-    flattened feature map. Mosaic iota is integer-only; exact true
-    division keeps floor() safe (q/W is exactly representable whenever
-    q is a multiple of W)."""
+    flattened feature map. h0 may be a python int or a traced f32
+    scalar (the dynamic-window path). Mosaic iota is integer-only;
+    exact true division keeps floor() safe (q/W is exactly
+    representable whenever q is a multiple of W)."""
     q = (jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
-         .astype(jnp.float32) + float(h0))
+         .astype(jnp.float32) + h0)
     qy = jnp.floor(q / float(W))
     qx = q - qy * float(W)
     return qy, qx
@@ -100,6 +101,61 @@ TARGET_CHUNKS = int(_os.environ.get("GSSD_HAT_CHUNKS", "6"))
 # skipped [TP, CH] dot saves). Default: skip in bwd only.
 HAT_SKIP_FWD = _os.environ.get("GSSD_HAT_SKIP_FWD", "0") == "1"
 HAT_SKIP_BWD = _os.environ.get("GSSD_HAT_SKIP_BWD", "1") == "1"
+# Dynamic-window sampling: per (tap, tile), compute the hat support's
+# row span at runtime and sample only a ~WR-row band of the feature
+# map via ONE 8-aligned dynamic slice; when the span doesn't fit the
+# band, the tap degrades to the chunk-skip loop (combined conds, no
+# nesting) so exactness and worst-case cost are preserved. Measured on
+# v5e at the flagship site (b32, like-for-like, scripts/
+# exp_hat_window.py): bwd 45.4 -> 39.8 ms at init-size offsets, 43.7
+# -> 42.1 at sigma=0.5 px, parity at sigma>=1.5 px; the FORWARD loses
+# (15.7 -> 18.3 ms) and stays off. WR default is auto (support span of
+# a TP-row tile at zero offset, = 6 at the flagship 38x38 geometry);
+# wr8 measured worse everywhere (47.5 init, 64 at sigma=1.5).
+HAT_WINDOW_FWD = _os.environ.get("GSSD_HAT_WINDOW_FWD", "0") == "1"
+HAT_WINDOW_BWD = _os.environ.get("GSSD_HAT_WINDOW_BWD", "1") == "1"
+WINDOW_ROWS = int(_os.environ.get("GSSD_HAT_WR", "0"))  # 0 = auto
+# the window wins at the flagship 38x38 site but LOSES at 64x64
+# (skip 67.8 vs window 69.9-72.4 ms standalone; 512-model bench 59.9
+# -> 58.3 slices/s) — larger maps have more tiles whose fits-cond +
+# window overhead outweighs the chunk conds they replace. Gate by map
+# size; env-tunable for future sites.
+WINDOW_MAX_HW = int(_os.environ.get("GSSD_HAT_WINDOW_MAX_HW", "2048"))
+
+
+def _window_static(HW: int, W: int, TP: int):
+    """Static window geometry (rows WRc, slice length WL). Mosaic
+    requires dynamic sublane-dim slice starts to be provably 8-aligned,
+    so the runtime start is rounded DOWN to a multiple of 8 and the
+    static length carries +8 slack to keep coverage. None when the
+    window wouldn't be smaller than the full map (or the map is larger
+    than the measured-win regime, WINDOW_MAX_HW)."""
+    if HW > WINDOW_MAX_HW:
+        return None
+    Hrows = HW // W
+    # auto WR: a TP-row coordinate tile spans <= ceil((TP-1)/W)+1 output
+    # rows at zero offset; +1 for the floor(py)+1 support row. Offsets
+    # beyond that degrade (exactly) to the chunk-skip fallback.
+    wr = WINDOW_ROWS if WINDOW_ROWS > 0 else -(-(TP - 1) // W) + 2
+    WRc = min(wr, Hrows)
+    WL = (WRc * W + 8 + 7) // 8 * 8
+    if WL >= HW:
+        return None
+    return Hrows, WRc, WL
+
+
+def _window_dyn(lo, hi, Hrows, WRc, WL, HW, W):
+    """Runtime window parameters from the tap's row-support [lo, hi]:
+    8-aligned flattened start `sa` and scalar `fits` (True iff the
+    window covers every in-grid contributing row AND stays in bounds —
+    otherwise the caller falls back to the exact full-range path)."""
+    loc = jnp.maximum(lo, 0.0)
+    hic = jnp.minimum(hi, float(Hrows - 1))
+    w0f = jnp.clip(loc, 0.0, float(Hrows - WRc))
+    h0d = w0f.astype(jnp.int32) * W
+    sa = (h0d // 8) * 8
+    fits = (hic < w0f + float(WRc)) & (sa + WL <= HW)
+    return sa, fits
 
 
 def _chunks(HW: int, W: int = 0, skip: bool = False):
@@ -161,7 +217,30 @@ def _fwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref,
             return jnp.dot(s, xf[h0:h0 + ch],
                            preferred_element_type=jnp.float32)
 
-        if HAT_SKIP_FWD:
+        if HAT_WINDOW_FWD and _window_static(HW, W, TP) is not None:
+            Hrows, WRc, WL = _window_static(HW, W, TP)
+            sa, fits = _window_dyn(lo, hi, Hrows, WRc, WL, HW, W)
+            samp_s[:] = jnp.zeros_like(samp_s[:])
+
+            @pl.when(fits)
+            def _():
+                qy, qx = _grid_rows(WL, W, sa.astype(jnp.float32))
+                ay, bx = _hats(pyk, pxk, qy, qx)
+                sb = (ay * bx * mk).astype(jnp.bfloat16)
+                xwin = xf_ref[0, 0, pl.ds(sa, WL)]
+                samp_s[:] += jnp.dot(sb, xwin,
+                                     preferred_element_type=jnp.float32)
+
+            nfits = jnp.logical_not(fits)
+            for h0, ch in _chunks(HW, W, skip=True):
+                r0, r1 = h0 // W, (h0 + ch - 1) // W
+
+                @pl.when(nfits & (hi >= r0) & (lo <= r1))
+                def _(h0=h0, ch=ch):
+                    samp_s[:] += _active(h0, ch)
+
+            samp = samp_s[:]
+        elif HAT_SKIP_FWD:
             # scratch accumulation under pl.when (the value-returning
             # lax.cond formulation measured SLOWER than no skipping:
             # 21.5 vs 15.9 ms; the bwd's pl.when+scratch pattern wins)
@@ -289,14 +368,64 @@ def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
             samp_c = jnp.dot(s_b, xfc, preferred_element_type=jnp.float32)
             return dm_c, dpy_c, dpx_c, samp_c
 
-        if HAT_SKIP_BWD:
-            # scratch accumulators so each chunk's work sits under ONE
-            # runtime support test: acc3 col 0 = dm, 1 = dpy, 2 = dpx
+        if HAT_WINDOW_BWD or HAT_SKIP_BWD:
             samp_s[:] = jnp.zeros_like(samp_s[:])
             acc3_s[:] = jnp.zeros_like(acc3_s[:])
             fl = jnp.floor(pyk)
             lo = jnp.min(fl)
             hi = jnp.max(fl) + 1.0
+        if HAT_WINDOW_BWD and _window_static(HW, W, py.shape[0]) is not None:
+            Hrows, WRc, WL = _window_static(HW, W, py.shape[0])
+            sa, fits = _window_dyn(lo, hi, Hrows, WRc, WL, HW, W)
+
+            @pl.when(fits)
+            def _():
+                qy, qx = _grid_rows(WL, W, sa.astype(jnp.float32))
+                ay, bx = _hats(pyk, pxk, qy, qx)
+                xfc = xf_ref[0, 0, pl.ds(sa, WL)]
+                dS = jax.lax.dot_general(
+                    dU_k, xfc,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s0 = ay * bx
+                mdS = dS * mk
+                day = _dhat(pyk, qy)
+                dbx = _dhat(pxk, qx)
+                acc3_s[:, 0:1] += jnp.sum(dS * s0, axis=1, keepdims=True)
+                acc3_s[:, 1:2] += jnp.sum(mdS * day * bx, axis=1,
+                                          keepdims=True)
+                acc3_s[:, 2:3] += jnp.sum(mdS * ay * dbx, axis=1,
+                                          keepdims=True)
+                s_b = (s0 * mk).astype(jnp.bfloat16)
+                dx_ref[0, 0, pl.ds(sa, WL)] += jax.lax.dot_general(
+                    s_b, dU_k,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                samp_s[:] += jnp.dot(s_b, xfc,
+                                     preferred_element_type=jnp.float32)
+
+            # non-fits fallback = the chunk-skip loop (combined conds,
+            # no nesting) so a window miss degrades to skip-bwd cost,
+            # not to the full-range scan
+            nfits = jnp.logical_not(fits)
+            for h0, ch in _chunks(HW, W, skip=True):
+                r0, r1 = h0 // W, (h0 + ch - 1) // W
+
+                @pl.when(nfits & (hi >= r0) & (lo <= r1))
+                def _(h0=h0, ch=ch):
+                    dm_c, dpy_c, dpx_c, samp_c = _chunk_terms(h0, ch)
+                    acc3_s[:, 0:1] += dm_c
+                    acc3_s[:, 1:2] += dpy_c
+                    acc3_s[:, 2:3] += dpx_c
+                    samp_s[:] += samp_c
+
+            dm_a = acc3_s[:, 0:1]
+            dpy_a = acc3_s[:, 1:2]
+            dpx_a = acc3_s[:, 2:3]
+            samp = samp_s[:]
+        elif HAT_SKIP_BWD:
+            # scratch accumulators so each chunk's work sits under ONE
+            # runtime support test: acc3 col 0 = dm, 1 = dpy, 2 = dpx
             for h0, ch in _chunks(HW, W, skip=True):
                 r0, r1 = h0 // W, (h0 + ch - 1) // W
 
