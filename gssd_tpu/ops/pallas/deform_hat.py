@@ -50,7 +50,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-DEFAULT_TP = int(_os.environ.get("GSSD_HAT_TP", "128"))
+DEFAULT_TP = int(_os.environ.get("GSSD_HAT_TP", "0"))  # 0 = auto
+
+
+def _base_tp(HW: int) -> int:
+    """Row-tile size by site geometry, measured on v5e (scripts/
+    exp_hat_window.py): 128 wins at the flagship 38x38 site (TP=256
+    showed no fwd gain and a bwd loss there), 256 wins at 64x64
+    (fwd+bwd 68.8 -> 65.0 ms at equal chunks; TP=512 loses, 70.1).
+    GSSD_HAT_TP > 0 forces a value."""
+    if DEFAULT_TP > 0:
+        return DEFAULT_TP
+    return 256 if HW >= 4096 else 128
 
 # the kernels hold O(10) live [TP, CHUNK] f32 temporaries; large
 # feature maps are processed in CHUNK-column slices of the flattened
@@ -58,13 +69,13 @@ DEFAULT_TP = int(_os.environ.get("GSSD_HAT_TP", "128"))
 CHUNK = int(_os.environ.get("GSSD_HAT_CHUNK", "1536"))
 
 
-def _pick_tp(Pp: int) -> int:
-    """Row-tile size for the kernel impls: DEFAULT_TP sublanes. Pp
+def _pick_tp(Pp: int, HW: int) -> int:
+    """Row-tile size for the kernel impls: _base_tp(HW) sublanes. Pp
     arrives already padded to a TP multiple by deform_conv2d_hat, so
     the halving loop is a safety net only — it must NEVER trigger on
     the entry-point's raw prior count (P=1444 -> ceil8 1448 = 8*181
     would collapse the tile to 8 rows and 15x the grid)."""
-    tp = min(DEFAULT_TP, Pp)
+    tp = min(_base_tp(HW), Pp)
     while Pp % tp:
         tp //= 2
     return max(tp, 8)
@@ -91,7 +102,17 @@ def _grid_rows(CH: int, W: int, h0=0):
     return qy, qx
 
 
-TARGET_CHUNKS = int(_os.environ.get("GSSD_HAT_CHUNKS", "6"))
+TARGET_CHUNKS = int(_os.environ.get("GSSD_HAT_CHUNKS", "0"))  # 0 = auto
+
+
+def _target_chunks(HW: int) -> int:
+    """Skip-chunk count by site geometry, measured on v5e: 6 at the
+    flagship 38x38 site (10/12 much worse: 80/66 vs 45 ms), 16 at
+    64x64 (65.0 -> 60.3 ms over 6; 24/32 worse: 84.7/76.0).
+    GSSD_HAT_CHUNKS > 0 forces a value."""
+    if TARGET_CHUNKS > 0:
+        return TARGET_CHUNKS
+    return 16 if HW >= 4096 else 6
 # Runtime chunk skipping: an exact per-(tap, chunk) support test
 # (skipped hats are provably all-zero). Measured on v5e (flagship
 # conv4_3 site, b32, like-for-like): the BACKWARD wins big (fwd+bwd
@@ -160,12 +181,13 @@ def _window_dyn(lo, hi, Hrows, WRc, WL, HW, W):
 
 def _chunks(HW: int, W: int = 0, skip: bool = False):
     """Chunks of the flattened H*W axis: (h0, length). With skip,
-    chunks are row-aligned and target TARGET_CHUNKS per map so the
-    kernels' support test can skip non-contributing chunks exactly;
-    otherwise one CHUNK-bounded slab (fewer, bigger MXU dots)."""
+    chunks are row-aligned and target _target_chunks(HW) per map so
+    the kernels' support test can skip non-contributing chunks
+    exactly; otherwise one CHUNK-bounded slab (fewer, bigger MXU
+    dots)."""
     if skip and W:
         rows = HW // W
-        step = max(2, -(-rows // TARGET_CHUNKS)) * W
+        step = max(2, -(-rows // _target_chunks(HW))) * W
         step = min(step, max(1, CHUNK // W) * W)
     else:
         step = CHUNK
@@ -271,7 +293,7 @@ def _fwd_impl(py, px, m, xf, wg, W):
     B, G, Pp, K = py.shape
     HW, Cg = xf.shape[2], xf.shape[3]
     Cout = wg.shape[2]
-    TP = _pick_tp(Pp)
+    TP = _pick_tp(Pp, HW)
     flops = 2 * B * G * K * Pp * HW * Cg + 2 * B * Pp * G * K * Cg * Cout
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, K, W),
@@ -480,7 +502,7 @@ def _make_hat_core(W: int):
         B, G, Pp, K = py.shape
         HW, Cg = xf.shape[2], xf.shape[3]
         Cout = wg.shape[2]
-        TP = _pick_tp(Pp)
+        TP = _pick_tp(Pp, HW)
         bwd_params = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
         g = g.astype(jnp.float32)
@@ -570,7 +592,7 @@ def deform_conv2d_hat(
 
     # choose the tile first, then pad P up to a multiple of it (the
     # divisibility-safety halving in _pick_tp must not see the raw P)
-    TP = min(DEFAULT_TP, _cdiv(P, 8) * 8)
+    TP = min(_base_tp(HW), _cdiv(P, 8) * 8)
     Pp = _cdiv(P, TP) * TP
     if Pp != P:
         pad = ((0, 0), (0, 0), (0, Pp - P), (0, 0))

@@ -22,6 +22,8 @@ import time
 SITES = {
     "flagship": dict(B=32, H=38, C_IN=1024, C_OUT=512, G=4),
     "c512": dict(B=8, H=64, C_IN=1024, C_OUT=512, G=4),
+    "plk75": dict(B=8, H=75, C_IN=256, C_OUT=256, G=4),
+    "plk150": dict(B=8, H=150, C_IN=128, C_OUT=128, G=4),
 }
 
 
@@ -137,30 +139,18 @@ def worker_op(site, cfg, rng, x, osig):
           flush=True)
 
 
+_NOWIN = {"GSSD_HAT_WINDOW_BWD": "0"}
 CONFIGS = [
-    # (label, env overrides)
-    ("skip-bwd osig.5", {"GSSD_EXP_OSIG": "0.5"}),
-    ("skip-bwd osig1.5", {"GSSD_EXP_OSIG": "1.5"}),
-    ("skip-bwd osig3", {"GSSD_EXP_OSIG": "3"}),
-    ("window-bwd wr6 osig.5", {"GSSD_HAT_SKIP_BWD": "0",
-                               "GSSD_HAT_WINDOW_BWD": "1",
-                               "GSSD_HAT_WR": "6",
-                               "GSSD_EXP_OSIG": "0.5"}),
-    ("window-bwd wr6 osig1.5", {"GSSD_HAT_SKIP_BWD": "0",
-                                "GSSD_HAT_WINDOW_BWD": "1",
-                                "GSSD_HAT_WR": "6",
-                                "GSSD_EXP_OSIG": "1.5"}),
-    ("window-bwd wr6 osig3", {"GSSD_HAT_SKIP_BWD": "0",
-                              "GSSD_HAT_WINDOW_BWD": "1",
-                              "GSSD_HAT_WR": "6",
-                              "GSSD_EXP_OSIG": "3"}),
-    ("window-bwd wr8 osig1.5", {"GSSD_HAT_SKIP_BWD": "0",
-                                "GSSD_HAT_WINDOW_BWD": "1",
-                                "GSSD_HAT_WR": "8",
-                                "GSSD_EXP_OSIG": "1.5"}),
-    ("window-bwd wr6 modinit", {"GSSD_HAT_SKIP_BWD": "0",
-                                "GSSD_HAT_WINDOW_BWD": "1",
-                                "GSSD_HAT_WR": "6"}),
+    # (label, env overrides) — c512-site (64x64) tuning round
+    ("skip tp128 chunks6", dict(_NOWIN)),
+    ("skip tp128 chunks10", dict(_NOWIN, GSSD_HAT_CHUNKS="10")),
+    ("skip tp128 chunks16", dict(_NOWIN, GSSD_HAT_CHUNKS="16")),
+    ("skip tp256 chunks6", dict(_NOWIN, GSSD_HAT_TP="256")),
+    ("skip tp256 chunks10", dict(_NOWIN, GSSD_HAT_TP="256",
+                                 GSSD_HAT_CHUNKS="10")),
+    ("window tp256 wr6", {"GSSD_HAT_TP": "256", "GSSD_HAT_WR": "6",
+                          "GSSD_HAT_WINDOW_MAX_HW": "4096"}),
+    ("window tp128 wr4 nomax", {"GSSD_HAT_WINDOW_MAX_HW": "4096"}),
 ]
 
 
