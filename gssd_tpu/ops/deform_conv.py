@@ -27,6 +27,7 @@ conv_offset_mask + sigmoid (dcn_v2_custom.py:66-77).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import jax
@@ -226,6 +227,30 @@ def deform_conv2d_patch(
     return out + bias.astype(dt)
 
 
+def resolve_deform_impl(impl: str, hw: int):
+    """Map an impl name (+ feature-map size) to the op function. The
+    hat contraction is O(P * H*W): on maps beyond GSSD_HAT_MAX_HW
+    positions its bwd kernel spills VMEM on TPU (measured: 150x150
+    Cg=64 needs 142M of 128M vmem; the largest verified-good map is
+    75x75 = 5625), so 'hat' falls back to the gather-based impl there
+    (the PixelLink 2s conv2_2 site is the only in-tree case)."""
+    if impl == "pallas":
+        from gssd_tpu.ops.pallas.deform_sample import deform_conv2d_pallas
+
+        return deform_conv2d_pallas
+    if impl == "hat":
+        if hw > int(os.environ.get("GSSD_HAT_MAX_HW", "6000")):
+            return deform_conv2d
+        from gssd_tpu.ops.pallas.deform_hat import deform_conv2d_hat
+
+        return deform_conv2d_hat
+    if impl == "fused":
+        from gssd_tpu.ops.deform_fused import deform_conv2d_fused
+
+        return deform_conv2d_fused
+    return deform_conv2d
+
+
 class DCN(nn.Module):
     """Deformable conv block with its own offset/mask predictor.
 
@@ -281,22 +306,7 @@ class DCN(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
 
-        if self.impl == "pallas":
-            from gssd_tpu.ops.pallas.deform_sample import (
-                deform_conv2d_pallas,
-            )
-
-            fn = deform_conv2d_pallas
-        elif self.impl == "hat":
-            from gssd_tpu.ops.pallas.deform_hat import deform_conv2d_hat
-
-            fn = deform_conv2d_hat
-        elif self.impl == "fused":
-            from gssd_tpu.ops.deform_fused import deform_conv2d_fused
-
-            fn = deform_conv2d_fused
-        else:
-            fn = deform_conv2d
+        fn = resolve_deform_impl(self.impl, H * W)
         out = fn(
             x, dy, dx, m, weight, bias,
             stride=self.stride, padding=self.padding,

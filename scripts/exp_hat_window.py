@@ -24,6 +24,8 @@ SITES = {
     "c512": dict(B=8, H=64, C_IN=1024, C_OUT=512, G=4),
     "plk75": dict(B=8, H=75, C_IN=256, C_OUT=256, G=4),
     "plk150": dict(B=8, H=150, C_IN=128, C_OUT=128, G=4),
+    # PixelLink 2s conv2_2 site with dcn_cat_sab (the real shape)
+    "plk150cat": dict(B=8, H=150, C_IN=256, C_OUT=128, G=4),
 }
 
 
@@ -44,8 +46,9 @@ def worker(site):
     if osig > 0:
         return worker_op(site, cfg, rng, x, osig)
 
+    impl = os.environ.get("GSSD_EXP_IMPL", "hat")
     mod = DCN(features=cfg["C_OUT"], deformable_groups=G,
-              dtype=jnp.bfloat16, impl="hat")
+              dtype=jnp.bfloat16, impl=impl)
     variables = mod.init(jax.random.PRNGKey(0), x)
 
     def chain_time(f, args, iters=20):

@@ -92,3 +92,17 @@ def test_hat_gradients_at_integer_offsets(rng):
         denom = max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(b / denom, a / denom, atol=0.02,
                                    err_msg=f"grad mismatch: {n}")
+
+
+def test_hat_impl_falls_back_on_large_maps(monkeypatch):
+    """'hat' must never be selected for maps whose bwd kernel spills
+    VMEM on TPU (measured limit between 75x75=5625 ok and
+    150x150=22500 OOM); beyond GSSD_HAT_MAX_HW the module dispatches
+    the gather-based op instead (PixelLink 2s conv2_2 site)."""
+    from gssd_tpu.ops.deform_conv import resolve_deform_impl
+
+    assert resolve_deform_impl("hat", 38 * 38) is deform_conv2d_hat
+    assert resolve_deform_impl("hat", 75 * 75) is deform_conv2d_hat
+    assert resolve_deform_impl("hat", 150 * 150) is deform_conv2d
+    monkeypatch.setenv("GSSD_HAT_MAX_HW", "1000")
+    assert resolve_deform_impl("hat", 38 * 38) is deform_conv2d
