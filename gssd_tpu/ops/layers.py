@@ -21,7 +21,9 @@ Covers the reference's layer zoo:
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -43,7 +45,18 @@ def max_pool(
     Lowered via reduce_window. (A strided-slice max formulation was
     measured 2.3x SLOWER fwd+bwd at 300^2x64 on v5e — stride-2 slicing
     of sublane dims relayouts; scripts/exp_stem3.py round-3 notes.)
+
+    GSSD_POOL_MASK_BWD=1 swaps the 2x2/s2 case's backward for an
+    equal-compare mask (dx = (x==y_up) * dy_up / tie_count): the exact
+    sum-preserving subgradient, avoiding XLA's SelectAndScatter
+    lowering. Differs from torch only in tie-splitting (torch routes
+    the whole grad to the first argmax; ties are ReLU zeros whose grad
+    dies in the ReLU backward anyway). Off by default pending a
+    measured TPU win (scripts/exp_pool.py).
     """
+    if (POOL_MASK_BWD and window == 2 and stride == 2 and padding == 0
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return _max_pool2x2_mask(x, ceil_mode)
     h, w = x.shape[1], x.shape[2]
     if padding:
         pad = [(padding, padding), (padding, padding)]
@@ -61,6 +74,57 @@ def max_pool(
         window_strides=(1, stride, stride, 1),
         padding=[(0, 0)] + pad + [(0, 0)],
     )
+
+
+POOL_MASK_BWD = os.environ.get("GSSD_POOL_MASK_BWD", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool2x2_mask(x, ceil_mode):
+    return _pool2x2_fwd_val(x, ceil_mode)
+
+
+def _pool2x2_fwd_val(x, ceil_mode):
+    h, w = x.shape[1], x.shape[2]
+    ph, pw = (h % 2, w % 2) if ceil_mode else (0, 0)
+    xr = x
+    if ph or pw:
+        xr = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                     constant_values=-np.inf)
+    elif h % 2 or w % 2:  # floor mode drops the odd tail row/col
+        xr = x[:, : h - h % 2, : w - w % 2]
+    B, H, W, C = xr.shape
+    return jnp.max(xr.reshape(B, H // 2, 2, W // 2, 2, C), axis=(2, 4))
+
+
+def _pool2x2_mask_fwd(x, ceil_mode):
+    y = _pool2x2_fwd_val(x, ceil_mode)
+    return y, (x, y)
+
+
+def _pool2x2_mask_bwd(ceil_mode, res, dy):
+    x, y = res
+    h, w = x.shape[1], x.shape[2]
+    # region of x the pool actually reads: everything in ceil mode,
+    # minus the odd tail row/col in floor mode (its grad is zero)
+    he, we = (h, w) if ceil_mode else (h - h % 2, w - w % 2)
+    xc = x[:, :he, :we]
+    # upsample y / (dy / cnt) by 2 then crop; mask picks the argmax
+    # cells, 1/cnt splits exact ties (sum-preserving subgradient)
+    y_up = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)[:, :he, :we]
+    mask = (xc == y_up).astype(jnp.float32)
+    cnt = jax.lax.reduce_window(
+        mask, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        [(0, 0), (0, he % 2), (0, we % 2), (0, 0)])
+    g = dy.astype(jnp.float32) / cnt
+    g_up = jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2)[:, :he, :we]
+    dx = (mask * g_up).astype(x.dtype)
+    if (he, we) != (h, w):
+        dx = jnp.pad(dx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
+    return (dx,)
+
+
+_max_pool2x2_mask.defvjp(_pool2x2_mask_fwd, _pool2x2_mask_bwd)
 
 
 def adaptive_avg_pool(x: jnp.ndarray, out_size: int) -> jnp.ndarray:

@@ -24,6 +24,37 @@ def test_max_pool_ceil_mode(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_max_pool_mask_bwd_matches_reduce_window(rng, monkeypatch):
+    """GSSD_POOL_MASK_BWD path: forward identical to reduce_window;
+    backward the exact sum-preserving subgradient — equal to torch
+    everywhere except exact ties (where torch picks one argmax and the
+    mask path splits; total gradient mass is preserved)."""
+    import gssd_tpu.ops.layers as L
+
+    monkeypatch.setattr(L, "POOL_MASK_BWD", True)
+    for h, ceil in [(8, False), (7, False), (75, True), (6, True)]:
+        x = jax.nn.relu(  # ReLU zeros = realistic tie density
+            jnp.asarray(rng.normal(size=(2, h, h, 8)).astype(np.float32)))
+        want = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            [(0, 0), (0, h % 2 if ceil else 0),
+             (0, h % 2 if ceil else 0), (0, 0)])
+        got, vjp = jax.vjp(lambda xi: L.max_pool(xi, 2, 2, ceil_mode=ceil), x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        dy = jnp.asarray(rng.uniform(0.5, 1.0, got.shape).astype(np.float32))
+        dx = np.asarray(vjp(dy)[0])
+        _, vjp_rw = jax.vjp(
+            lambda xi: jax.lax.reduce_window(
+                xi, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                [(0, 0), (0, h % 2 if ceil else 0),
+                 (0, h % 2 if ceil else 0), (0, 0)]), x)
+        dx_rw = np.asarray(vjp_rw(dy)[0])
+        # identical total mass, identical at non-tie positions
+        np.testing.assert_allclose(dx.sum(), dx_rw.sum(), rtol=1e-5)
+        ties = np.asarray(x) == 0.0
+        np.testing.assert_allclose(dx[~ties], dx_rw[~ties], rtol=1e-5)
+
+
 def test_max_pool_3x3_s1_p1(rng):
     x = rng.normal(size=(1, 19, 19, 4)).astype(np.float32)
     got = np.asarray(max_pool(jnp.asarray(x), 3, 1, padding=1))
