@@ -142,6 +142,80 @@ WINDOW_ROWS = int(_os.environ.get("GSSD_HAT_WR", "0"))  # 0 = auto
 # window overhead outweighs the chunk conds they replace. Gate by map
 # size; env-tunable for future sites.
 WINDOW_MAX_HW = int(_os.environ.get("GSSD_HAT_WINDOW_MAX_HW", "2048"))
+# All-window dispatch: hoist the fits test OUT of the kernel — XLA
+# computes per-tier scalars ("every (tile, tap) support fits a WRc-row
+# window") from the coords and nested-lax.cond's between COND-FREE
+# windowed kernels (tightest tier that fits) and the exact fallback
+# kernels. Mosaic scalar conds are expensive (verify-skill note); the
+# fallback bwd runs 7 of them per tap-tile, the windowed kernels run
+# none. They read xf through one provably-8-aligned dynamic slice per
+# tap; xf carries +16 zero pad rows so the slice is always in-bounds
+# (zero rows contribute exact zeros to every term and the dx pad rows
+# are discarded). Measured v5e (scripts/exp_hat_window.py +
+# /tmp tier_sweep): flagship fwd+bwd 40.5 -> 32.0 ms (init offsets),
+# 42.3 -> 31.9 at sigma=0.5 (tier 2), 46.0 -> 47.5 at sigma=1
+# (fallback overhead); c512 64x64 site 59.4 -> 23.6 init, 26.3 at
+# sigma=0.5.
+HAT_ALLWIN = _os.environ.get("GSSD_HAT_ALLWIN", "1") == "1"
+# Window-slack tiers, in slack rows over the zero-offset support span.
+# Measured on v5e (scripts/exp_hat_window.py + /tmp osig sweep,
+# flagship site b32): tier 2 fits offsets spread <= 2 px per (tile,
+# tap) and runs fwd+bwd 32.3 ms vs the fallback's 40.5; tier 6 covers
+# sigma <= ~0.8 px offsets at ~10% more window FLOPs; beyond that the
+# exact fallback kernels run (~1.4 ms dispatch overhead at sigma=1).
+ALLWIN_EXTRAS = tuple(
+    int(v) for v in
+    _os.environ.get("GSSD_HAT_ALLWIN_EXTRAS", "2,6").split(",") if v)
+ALLWIN_MAX_HW = int(_os.environ.get("GSSD_HAT_ALLWIN_MAX_HW", "4096"))
+ALLWIN_PAD = 16
+
+
+def _window_static_all(HW: int, W: int, TP: int, extra: int):
+    """Static geometry for one all-window tier: (Hrows, WRc, WL) with
+    WRc = zero-offset support span + `extra` slack rows. None when the
+    window wouldn't shrink the contraction or the map is beyond the
+    gate."""
+    if HW > ALLWIN_MAX_HW:
+        return None
+    Hrows = HW // W
+    wr = -(-(TP - 1) // W) + 2 + extra
+    WRc = min(wr, Hrows)
+    WL = (WRc * W + 8 + 7) // 8 * 8
+    if WL >= HW:
+        return None
+    return Hrows, WRc, WL
+
+
+def _tier_fits(py, TP: int, W: int, HW: int):
+    """[(fits_scalar, (Hrows, WRc, WL)), ...] for each viable window
+    tier, tightest first. fits mirrors the kernels' per-tap (lo, hi)
+    computation; rows clipped to the grid because out-of-border rows
+    have no columns. Empty list = all-window disabled for this site."""
+    tiers = []
+    for extra in ALLWIN_EXTRAS:
+        ws = _window_static_all(HW, W, TP, extra)
+        if ws is not None and ws not in [t for t in tiers]:
+            tiers.append(ws)
+    if not tiers:
+        return []
+    B, G, Pp, K = py.shape
+    Hrows = tiers[0][0]
+    fl = jnp.floor(py).reshape(B, G, Pp // TP, TP, K)
+    lo = jnp.min(fl, axis=3)
+    hi = jnp.max(fl, axis=3) + 1.0
+    span = (jnp.minimum(hi, float(Hrows - 1))
+            - jnp.maximum(lo, 0.0) + 1.0)
+    mx = jnp.max(span)
+    return [(mx <= float(ws[1]), ws) for ws in tiers]
+
+
+def _tap_window_start(pyk, Hrows: int, WRc: int, W: int):
+    """8-aligned flattened window start for one tap's [TP, 1] py column
+    (the all-window kernels; fit is guaranteed by _fits_all)."""
+    lo = jnp.min(jnp.floor(pyk))
+    w0 = jnp.clip(lo, 0.0, float(Hrows - WRc))
+    h0d = w0.astype(jnp.int32) * W
+    return (h0d // 8) * 8
 
 
 def _window_static(HW: int, W: int, TP: int):
@@ -285,29 +359,70 @@ def _fwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref,
     out_ref[0, 0] = acc
 
 
-def _fwd_impl(py, px, m, xf, wg, W):
+def _fwd_kernel_allwin(K, W, Hrows, WRc, WL,
+                       py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref):
+    """Cond-free all-window forward: every tap samples ONE WL-column
+    window of the (zero-padded) feature map. Only dispatched when
+    _fits_all proved every support fits (lax.cond at the XLA level)."""
+    py = py_ref[0, 0]
+    px = px_ref[0, 0]
+    m = m_ref[0, 0]
+    TP = py.shape[0]
+    Cg = xf_ref.shape[3]
+    Cout = w_ref.shape[2]
+    acc = jnp.zeros((TP, Cout), jnp.float32)
+    for k in range(K):
+        pyk = py[:, k:k + 1]
+        pxk = px[:, k:k + 1]
+        mk = m[:, k:k + 1]
+        sa = _tap_window_start(pyk, Hrows, WRc, W)
+        qy, qx = _grid_rows(WL, W, sa.astype(jnp.float32))
+        ay, bx = _hats(pyk, pxk, qy, qx)
+        s = (ay * bx * mk).astype(jnp.bfloat16)
+        xwin = xf_ref[0, 0, pl.ds(sa, WL)]
+        samp = jnp.dot(s, xwin, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(samp.astype(jnp.bfloat16),
+                            w_ref[0, k * Cg:(k + 1) * Cg],
+                            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc
+
+
+def _fwd_impl(py, px, m, xf, wg, W, win=None):
     """py/px/m [B,G,Pp,K] f32; xf [B,G,HW,Cg] bf16; wg [G,K*Cg,Cout]
     bf16 -> out [B,Pp,Cout] f32. The kernel writes per-group partial
     outputs (grid (B, G, T): weight/xf blocks stream once per (b, g),
-    no output revisits); the tiny cross-group sum runs in XLA."""
+    no output revisits); the tiny cross-group sum runs in XLA.
+    win = (Hrows, WRc, WL) selects the cond-free all-window kernel."""
     B, G, Pp, K = py.shape
     HW, Cg = xf.shape[2], xf.shape[3]
     Cout = wg.shape[2]
     TP = _pick_tp(Pp, HW)
-    flops = 2 * B * G * K * Pp * HW * Cg + 2 * B * Pp * G * K * Cg * Cout
+    if win is not None:
+        Hrows, WRc, WL = win
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, ALLWIN_PAD), (0, 0)))
+        HWp = HW + ALLWIN_PAD
+        kern = functools.partial(_fwd_kernel_allwin, K, W, Hrows, WRc, WL)
+        scratch = []
+        flops = 2 * B * G * K * Pp * WL * Cg + 2 * B * Pp * G * K * Cg * Cout
+    else:
+        HWp = HW
+        kern = functools.partial(_fwd_kernel, K, W)
+        scratch = [pltpu.VMEM((TP, Cg), jnp.float32)]
+        flops = (2 * B * G * K * Pp * HW * Cg
+                 + 2 * B * Pp * G * K * Cg * Cout)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, K, W),
+        kern,
         grid=(B, G, Pp // TP),
         in_specs=[
             pl.BlockSpec((1, 1, TP, K), lambda b, g, t: (b, g, t, 0)),
             pl.BlockSpec((1, 1, TP, K), lambda b, g, t: (b, g, t, 0)),
             pl.BlockSpec((1, 1, TP, K), lambda b, g, t: (b, g, t, 0)),
-            pl.BlockSpec((1, 1, HW, Cg), lambda b, g, t: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, HWp, Cg), lambda b, g, t: (b, g, 0, 0)),
             pl.BlockSpec((1, K * Cg, Cout), lambda b, g, t: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, TP, Cout), lambda b, g, t: (b, g, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, G, Pp, Cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TP, Cg), jnp.float32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=xf.size * 2 * (Pp // TP),
             transcendentals=0),
@@ -485,61 +600,173 @@ def _bwd_kernel(K, W, py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
             preferred_element_type=jnp.float32)
 
 
+def _bwd_kernel_allwin(K, W, Hrows, WRc, WL,
+                       py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
+                       dpy_ref, dpx_ref, dm_ref, dx_ref, dw_ref):
+    """Cond-free all-window backward: one windowed pass per tap, no
+    scratch accumulators, no support conds (fit proved by _fits_all).
+    Same grid/accumulation contract as _bwd_kernel."""
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    py = py_ref[0, 0]
+    px = px_ref[0, 0]
+    m = m_ref[0, 0]
+    gout = g_ref[0]
+    Cg = xf_ref.shape[3]
+    dU = jnp.dot(gout.astype(jnp.bfloat16), wt_ref[0],
+                 preferred_element_type=jnp.float32)
+    gout_b = gout.astype(jnp.bfloat16)
+
+    @pl.when(t == 0)
+    def _():
+        dx_ref[0, 0] = jnp.zeros_like(dx_ref[0, 0])
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+
+    for k in range(K):
+        mk = m[:, k:k + 1]
+        pyk = py[:, k:k + 1]
+        pxk = px[:, k:k + 1]
+        dU_k = dU[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16)
+        sa = _tap_window_start(pyk, Hrows, WRc, W)
+        qy, qx = _grid_rows(WL, W, sa.astype(jnp.float32))
+        ay, bx = _hats(pyk, pxk, qy, qx)
+        xwin = xf_ref[0, 0, pl.ds(sa, WL)]
+        dS = jax.lax.dot_general(
+            dU_k, xwin, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s0 = ay * bx
+        mdS = dS * mk
+        day = _dhat(pyk, qy)
+        dbx = _dhat(pxk, qx)
+        dm_ref[0, 0, :, k:k + 1] = jnp.sum(dS * s0, axis=1, keepdims=True)
+        dpy_ref[0, 0, :, k:k + 1] = jnp.sum(mdS * day * bx, axis=1,
+                                            keepdims=True)
+        dpx_ref[0, 0, :, k:k + 1] = jnp.sum(mdS * ay * dbx, axis=1,
+                                            keepdims=True)
+        s_b = (s0 * mk).astype(jnp.bfloat16)
+        dx_ref[0, 0, pl.ds(sa, WL)] += jax.lax.dot_general(
+            s_b, dU_k, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        samp = jnp.dot(s_b, xwin, preferred_element_type=jnp.float32)
+        dw_ref[0, k * Cg:(k + 1) * Cg] += jax.lax.dot_general(
+            samp.astype(jnp.bfloat16), gout_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _bwd_impl(py, px, m, xf, wt, g, W, win=None):
+    """All five cotangents in one kernel dispatch. Returns
+    (dpy, dpx, dm, dx[f32, unpadded], dwg[f32]).
+    win = (Hrows, WRc, WL) selects the cond-free all-window kernel."""
+    B, G, Pp, K = py.shape
+    HW, Cg = xf.shape[2], xf.shape[3]
+    Cout = wt.shape[1]
+    TP = _pick_tp(Pp, HW)
+    if win is not None:
+        Hrows, WRc, WL = win
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, ALLWIN_PAD), (0, 0)))
+        HWp = HW + ALLWIN_PAD
+        kern = functools.partial(_bwd_kernel_allwin, K, W, Hrows, WRc, WL)
+        scratch = []
+    else:
+        HWp = HW
+        kern = functools.partial(_bwd_kernel, K, W)
+        scratch = [
+            pltpu.VMEM((TP, Cg), jnp.float32),
+            pltpu.VMEM((TP, 8), jnp.float32),
+        ]
+
+    coord_spec = pl.BlockSpec(
+        (1, 1, TP, K), lambda gg, b, t: (b, gg, t, 0))
+    dpy, dpx, dm, dx, dwg = pl.pallas_call(
+        kern,
+        grid=(G, B, Pp // TP),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, HWp, Cg), lambda gg, b, t: (b, gg, 0, 0)),
+            pl.BlockSpec((1, Cout, K * Cg), lambda gg, b, t: (gg, 0, 0)),
+            pl.BlockSpec((1, TP, Cout), lambda gg, b, t: (b, t, 0)),
+        ],
+        out_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, HWp, Cg), lambda gg, b, t: (b, gg, 0, 0)),
+            pl.BlockSpec((1, K * Cg, Cout), lambda gg, b, t: (gg, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, HWp, Cg), jnp.float32),
+            jax.ShapeDtypeStruct((G, K * Cg, Cout), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(py, px, m, xf, wt, g)
+    if win is not None:
+        dx = dx[:, :, :HW]
+    return dpy, dpx, dm, dx, dwg
+
+
 @functools.lru_cache(maxsize=None)
 def _make_hat_core(W: int):
     """custom_vjp op closed over the static feature-map width W (the
     kernels need W to rebuild (qy, qx) from the flattened q index)."""
 
+    def _site_tiers(py, xf):
+        """Window tiers for this site ([] disables the dispatch: flag
+        off, map beyond gate, or window >= map)."""
+        if not HAT_ALLWIN:
+            return []
+        Pp, HW = py.shape[2], xf.shape[2]
+        return _tier_fits(py, _pick_tp(Pp, HW), W, HW)
+
+    def _tiered(tiers, win_fn, fallback_fn, args):
+        """Nested lax.cond: tightest fitting window tier, else exact
+        fallback. All branches produce identical shapes/dtypes."""
+        f = fallback_fn
+        for fits, ws in reversed(tiers):
+            f = (lambda fits, ws, nxt:
+                 lambda a: jax.lax.cond(
+                     fits, lambda aa: win_fn(aa, ws), nxt, a)
+                 )(fits, ws, f)
+        return f(args)
+
+    def _fwd_dispatch(py, px, m, xf, wg):
+        tiers = _site_tiers(py, xf)
+        if not tiers:
+            return _fwd_impl(py, px, m, xf, wg, W)
+        return _tiered(
+            tiers,
+            lambda a, ws: _fwd_impl(*a, W, win=ws),
+            lambda a: _fwd_impl(*a, W),
+            (py, px, m, xf, wg))
+
     @jax.custom_vjp
     def hat_core(py, px, m, xf, wg):
-        return _fwd_impl(py, px, m, xf, wg, W)
+        return _fwd_dispatch(py, px, m, xf, wg)
 
     def hat_fwd(py, px, m, xf, wg):
-        return _fwd_impl(py, px, m, xf, wg, W), (py, px, m, xf, wg)
+        return _fwd_dispatch(py, px, m, xf, wg), (py, px, m, xf, wg)
 
     def hat_bwd(res, g):
         py, px, m, xf, wg = res
-        B, G, Pp, K = py.shape
-        HW, Cg = xf.shape[2], xf.shape[3]
-        Cout = wg.shape[2]
-        TP = _pick_tp(Pp, HW)
-        bwd_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
         g = g.astype(jnp.float32)
         # wt[g] = wg[g]^T : [G, Cout, K*Cg]
         wt = jnp.swapaxes(wg, 1, 2)
-
-        coord_spec = pl.BlockSpec(
-            (1, 1, TP, K), lambda gg, b, t: (b, gg, t, 0))
-        dpy, dpx, dm, dx, dwg = pl.pallas_call(
-            functools.partial(_bwd_kernel, K, W),
-            grid=(G, B, Pp // TP),
-            in_specs=[
-                coord_spec, coord_spec, coord_spec,
-                pl.BlockSpec((1, 1, HW, Cg), lambda gg, b, t: (b, gg, 0, 0)),
-                pl.BlockSpec((1, Cout, K * Cg), lambda gg, b, t: (gg, 0, 0)),
-                pl.BlockSpec((1, TP, Cout), lambda gg, b, t: (b, t, 0)),
-            ],
-            out_specs=[
-                coord_spec, coord_spec, coord_spec,
-                pl.BlockSpec((1, 1, HW, Cg), lambda gg, b, t: (b, gg, 0, 0)),
-                pl.BlockSpec((1, K * Cg, Cout), lambda gg, b, t: (gg, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
-                jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
-                jax.ShapeDtypeStruct((B, G, Pp, K), jnp.float32),
-                jax.ShapeDtypeStruct((B, G, HW, Cg), jnp.float32),
-                jax.ShapeDtypeStruct((G, K * Cg, Cout), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((TP, Cg), jnp.float32),
-                pltpu.VMEM((TP, 8), jnp.float32),
-            ],
-            compiler_params=bwd_params,
-            interpret=_interpret(),
-        )(py, px, m, xf, wt, g)
-
+        tiers = _site_tiers(py, xf)
+        if not tiers:
+            dpy, dpx, dm, dx, dwg = _bwd_impl(py, px, m, xf, wt, g, W)
+        else:
+            dpy, dpx, dm, dx, dwg = _tiered(
+                tiers,
+                lambda a, ws: _bwd_impl(*a, W, win=ws),
+                lambda a: _bwd_impl(*a, W),
+                (py, px, m, xf, wt, g))
         return dpy, dpx, dm, dx.astype(xf.dtype), dwg.astype(wg.dtype)
 
     hat_core.defvjp(hat_fwd, hat_bwd)

@@ -144,16 +144,10 @@ def worker_op(site, cfg, rng, x, osig):
 
 _NOWIN = {"GSSD_HAT_WINDOW_BWD": "0"}
 CONFIGS = [
-    # (label, env overrides) — c512-site (64x64) tuning round
-    ("skip tp128 chunks6", dict(_NOWIN)),
-    ("skip tp128 chunks10", dict(_NOWIN, GSSD_HAT_CHUNKS="10")),
-    ("skip tp128 chunks16", dict(_NOWIN, GSSD_HAT_CHUNKS="16")),
-    ("skip tp256 chunks6", dict(_NOWIN, GSSD_HAT_TP="256")),
-    ("skip tp256 chunks10", dict(_NOWIN, GSSD_HAT_TP="256",
-                                 GSSD_HAT_CHUNKS="10")),
-    ("window tp256 wr6", {"GSSD_HAT_TP": "256", "GSSD_HAT_WR": "6",
-                          "GSSD_HAT_WINDOW_MAX_HW": "4096"}),
-    ("window tp128 wr4 nomax", {"GSSD_HAT_WINDOW_MAX_HW": "4096"}),
+    # (label, env overrides) — tiered all-window dispatch round:
+    # default = tiers (2, 6); off = round-3 kernels (window-bwd + skip)
+    ("allwin tiers 2,6", {}),
+    ("allwin off (r3 path)", {"GSSD_HAT_ALLWIN": "0"}),
 ]
 
 

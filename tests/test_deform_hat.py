@@ -94,6 +94,71 @@ def test_hat_gradients_at_integer_offsets(rng):
                                    err_msg=f"grad mismatch: {n}")
 
 
+def _allwin_args(rng, osig=0.2, outlier=False, H=24):
+    """A map large enough that the all-window geometry is real
+    (H=24: WL=248 < HW=576) with small offsets so _fits_all holds;
+    `outlier` plants one huge offset to force the runtime fallback."""
+    x, dy, dx, mask, weight, bias = _rand_inputs(rng, B=1, H=H, W=H)
+    dy = dy * (osig / 1.5)
+    dx = dx * (osig / 1.5)
+    if outlier:
+        dy = dy.copy()
+        dy[0, H // 2, H // 2, 0, 4] = float(H) * 0.8
+    return (x, dy, dx, mask, weight, bias)
+
+
+def test_hat_allwin_matches(rng, monkeypatch):
+    """The cond-free all-window dispatch (fits=True at small offsets)
+    must match the XLA reference exactly like the fallback does."""
+    import gssd_tpu.ops.pallas.deform_hat as hat
+
+    args = tuple(jnp.asarray(a) for a in _allwin_args(rng))
+    want = np.asarray(deform_conv2d(*args))
+    monkeypatch.setattr(hat, "HAT_ALLWIN", True)
+    got = np.asarray(deform_conv2d_hat(*args))
+    np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+
+
+def test_hat_allwin_gradients_match(rng, monkeypatch):
+    import gssd_tpu.ops.pallas.deform_hat as hat
+
+    args = tuple(jnp.asarray(a) for a in _allwin_args(rng))
+
+    def loss(impl):
+        return lambda *a: jnp.sum(impl(*a) ** 2)
+
+    g_ref = jax.grad(loss(deform_conv2d), argnums=(0, 1, 2, 3, 4))(*args)
+    monkeypatch.setattr(hat, "HAT_ALLWIN", True)
+    g_hat = jax.grad(loss(deform_conv2d_hat), argnums=(0, 1, 2, 3, 4))(*args)
+    for n, a, b in zip(["x", "dy", "dx", "mask", "weight"], g_ref, g_hat):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / denom, a / denom, atol=0.02,
+                                   err_msg=f"grad mismatch: {n}")
+
+
+def test_hat_allwin_outlier_falls_back(rng, monkeypatch):
+    """One out-of-window offset must flip the runtime cond to the exact
+    fallback kernels — results stay correct, never clipped."""
+    import gssd_tpu.ops.pallas.deform_hat as hat
+
+    args = tuple(jnp.asarray(a) for a in _allwin_args(rng, outlier=True))
+    want = np.asarray(deform_conv2d(*args))
+    monkeypatch.setattr(hat, "HAT_ALLWIN", True)
+    got = np.asarray(deform_conv2d_hat(*args))
+    np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(deform_conv2d(*a) ** 2),
+                     argnums=(1, 3))(*args)
+    g_hat = jax.grad(lambda *a: jnp.sum(deform_conv2d_hat(*a) ** 2),
+                     argnums=(1, 3))(*args)
+    for n, a, b in zip(["dy", "mask"], g_ref, g_hat):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / denom, a / denom, atol=0.02,
+                                   err_msg=f"grad mismatch: {n}")
+
+
 def test_hat_impl_falls_back_on_large_maps(monkeypatch):
     """'hat' must never be selected for maps whose bwd kernel spills
     VMEM on TPU (measured limit between 75x75=5625 ok and
