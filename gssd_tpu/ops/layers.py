@@ -47,15 +47,25 @@ def max_pool(
     of sublane dims relayouts; scripts/exp_stem3.py round-3 notes.)
 
     GSSD_POOL_MASK_BWD=1 swaps the 2x2/s2 case's backward for an
-    equal-compare mask (dx = (x==y_up) * dy_up / tie_count): the exact
-    sum-preserving subgradient, avoiding XLA's SelectAndScatter
-    lowering. Differs from torch only in tie-splitting (torch routes
-    the whole grad to the first argmax; ties are ReLU zeros whose grad
-    dies in the ReLU backward anyway). Off by default pending a
-    measured TPU win (scripts/exp_pool.py).
+    equal-compare mask in the [B,H/2,2,W/2,2,C] reshape space
+    (dx = (x==y) * dy / tie_count): the exact sum-preserving
+    subgradient, avoiding XLA's SelectAndScatter lowering. Differs
+    from torch only in tie-splitting (torch routes the whole grad to
+    the first argmax; ties are ReLU zeros whose grad dies in the ReLU
+    backward anyway). Measured on v5e: STANDALONE it wins at
+    300^2x64 (30.8 -> 19.8 ms fwd+bwd) and 38^2x512 (5.2 -> 1.7) and
+    loses at 150^2x128 / 75^2x256 (scripts/exp_pool.py), but
+    IN-CONTEXT it LOSES at the 300-model (bench 269.9 -> 256.9
+    slices/s; the standalone win is HBM traffic that fusion already
+    hides, while the mask path's materialized intermediates break
+    those fusions). Default OFF; the channel gate
+    (C <= GSSD_POOL_MASK_CLO=64 or >= GSSD_POOL_MASK_CHI=512)
+    selects the standalone-win sites if enabled for a future model.
     """
     if (POOL_MASK_BWD and window == 2 and stride == 2 and padding == 0
-            and jnp.issubdtype(x.dtype, jnp.floating)):
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and (x.shape[3] <= POOL_MASK_CLO
+                 or x.shape[3] >= POOL_MASK_CHI)):
         return _max_pool2x2_mask(x, ceil_mode)
     h, w = x.shape[1], x.shape[2]
     if padding:
@@ -77,6 +87,8 @@ def max_pool(
 
 
 POOL_MASK_BWD = os.environ.get("GSSD_POOL_MASK_BWD", "0") == "1"
+POOL_MASK_CLO = int(os.environ.get("GSSD_POOL_MASK_CLO", "64"))
+POOL_MASK_CHI = int(os.environ.get("GSSD_POOL_MASK_CHI", "512"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -104,23 +116,31 @@ def _pool2x2_mask_fwd(x, ceil_mode):
 
 def _pool2x2_mask_bwd(ceil_mode, res, dy):
     x, y = res
-    h, w = x.shape[1], x.shape[2]
-    # region of x the pool actually reads: everything in ceil mode,
-    # minus the odd tail row/col in floor mode (its grad is zero)
+    B, h, w, C = x.shape
+    # region of x the pool actually reads: padded to even in ceil
+    # mode, minus the odd tail row/col in floor mode (its grad is 0)
+    ph, pw = (h % 2, w % 2) if ceil_mode else (0, 0)
     he, we = (h, w) if ceil_mode else (h - h % 2, w - w % 2)
-    xc = x[:, :he, :we]
-    # upsample y / (dy / cnt) by 2 then crop; mask picks the argmax
-    # cells, 1/cnt splits exact ties (sum-preserving subgradient)
-    y_up = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)[:, :he, :we]
-    mask = (xc == y_up).astype(jnp.float32)
-    cnt = jax.lax.reduce_window(
-        mask, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
-        [(0, 0), (0, he % 2), (0, we % 2), (0, 0)])
-    g = dy.astype(jnp.float32) / cnt
-    g_up = jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2)[:, :he, :we]
-    dx = (mask * g_up).astype(x.dtype)
-    if (he, we) != (h, w):
-        dx = jnp.pad(dx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
+    xp = x
+    if ph or pw:
+        xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                     constant_values=-np.inf)
+    elif (he, we) != (h, w):
+        xp = x[:, :he, :we]
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    # compare in the [B,H/2,2,W/2,2,C] reshape space (measured faster
+    # than repeat-upsampling on v5e, scripts/exp_pool.py); mask picks
+    # the argmax cells, 1/cnt splits exact ties (sum-preserving)
+    xr = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+    yb = y[:, :, None, :, None, :]
+    mask = (xr == yb).astype(jnp.float32)
+    cnt = jnp.sum(mask, axis=(2, 4), keepdims=True)
+    dyb = dy.astype(jnp.float32)[:, :, None, :, None, :]
+    dx = (mask * (dyb / cnt)).reshape(B, Hp, Wp, C).astype(x.dtype)
+    dx = dx[:, :min(h, Hp), :min(w, Wp)]
+    if dx.shape[1] != h or dx.shape[2] != w:
+        dx = jnp.pad(dx, ((0, 0), (0, h - dx.shape[1]),
+                          (0, w - dx.shape[2]), (0, 0)))
     return (dx,)
 
 
