@@ -89,6 +89,10 @@ def max_pool(
 POOL_MASK_BWD = os.environ.get("GSSD_POOL_MASK_BWD", "0") == "1"
 POOL_MASK_CLO = int(os.environ.get("GSSD_POOL_MASK_CLO", "64"))
 POOL_MASK_CHI = int(os.environ.get("GSSD_POOL_MASK_CHI", "512"))
+USE_FLASH_ATTN = os.environ.get("GSSD_FLASH_ATTN", "1") == "1"
+
+from gssd_tpu.ops.pallas.flash_attn import (  # noqa: E402
+    flash_attention, flash_eligible)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -439,7 +443,18 @@ class SelfAttention(nn.Module):
             "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
         )
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        attn_g = jnp.einsum("bnm,bmd->bnd", attn, vv)
+        if (USE_FLASH_ATTN and q.dtype == jnp.bfloat16
+                and flash_eligible(k.shape[1])):
+            # fused Pallas path: the [N, M] map never touches HBM.
+            # `attn` above is only consumed by the --visualize aux
+            # dumps — XLA prunes it (and its logits) whenever the
+            # caller ignores it, i.e. in every train/eval/infer step.
+            # bf16-only: the kernel's internal casts match the bf16
+            # compute path bit-for-bit but would degrade a float32
+            # model (e.g. cross-backend eval / transplant parity).
+            attn_g = flash_attention(q, k, vv)
+        else:
+            attn_g = jnp.einsum("bnm,bmd->bnd", attn, vv)
         attn_g = attn_g.reshape(b, h, w, c // 2)
         attn_g = SNDense(c, dtype=self.dtype, name="out")(attn_g, train)
 

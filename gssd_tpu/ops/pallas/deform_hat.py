@@ -55,12 +55,15 @@ DEFAULT_TP = int(_os.environ.get("GSSD_HAT_TP", "0"))  # 0 = auto
 
 def _base_tp(HW: int) -> int:
     """Row-tile size by site geometry, measured on v5e (scripts/
-    exp_hat_window.py): 128 wins at the flagship 38x38 site (TP=256
-    showed no fwd gain and a bwd loss there), 256 wins at 64x64
-    (fwd+bwd 68.8 -> 65.0 ms at equal chunks; TP=512 loses, 70.1).
-    GSSD_HAT_TP > 0 forces a value."""
+    exp_hat_window.py): with the all-window dispatch 128 wins at both
+    the flagship 38x38 site (fwd+bwd 32.4 vs 33.5 at TP=256) and the
+    64x64 site (22.2 vs 23.6), so allwin-eligible maps use 128; on the
+    fallback kernels 256 wins at 64x64 (68.8 -> 65.0 at equal chunks;
+    TP=512 loses, 70.1). GSSD_HAT_TP > 0 forces a value."""
     if DEFAULT_TP > 0:
         return DEFAULT_TP
+    if HAT_ALLWIN and HW <= ALLWIN_MAX_HW:
+        return 128
     return 256 if HW >= 4096 else 128
 
 # the kernels hold O(10) live [TP, CHUNK] f32 temporaries; large
