@@ -171,17 +171,30 @@ ALLWIN_EXTRAS = tuple(
     _os.environ.get("GSSD_HAT_ALLWIN_EXTRAS", "2,6").split(",") if v)
 ALLWIN_MAX_HW = int(_os.environ.get("GSSD_HAT_ALLWIN_MAX_HW", "4096"))
 ALLWIN_PAD = 16
+# Stacked all-window kernels: all K taps share ONE window (the union
+# support; +2*dilation rows at a 3x3/dil-1 site vs the per-tap window)
+# and their hat rows stack into a single [K*TP, WL] operand, so the
+# sampling / dS / dx contractions run as one deep MXU dot instead of K
+# shallow ones. Measured on v5e: LOSES at the flagship site (fwd+bwd
+# 33.5 vs 32.1 ms — the sublane concats + the 2-row-wider shared
+# window cost more than the deeper dots save) and is parity at 64x64
+# (22.1 vs 22.3), so it stays OFF; kept for future sites with more
+# taps or deeper Cg. (Mosaic note: [TP, 1] column vectors cannot be
+# concatenated on the sublane axis — fold per-tap scalars into the
+# wide arrays instead.)
+HAT_STACKED = _os.environ.get("GSSD_HAT_STACKED", "0") == "1"
 
 
 def _window_static_all(HW: int, W: int, TP: int, extra: int):
     """Static geometry for one all-window tier: (Hrows, WRc, WL) with
-    WRc = zero-offset support span + `extra` slack rows. None when the
-    window wouldn't shrink the contraction or the map is beyond the
-    gate."""
+    WRc = zero-offset support span + `extra` slack rows (stacked mode
+    shares one window across taps, whose zero-offset union span is 2
+    rows wider at the 3x3/dilation-1 sites). None when the window
+    wouldn't shrink the contraction or the map is beyond the gate."""
     if HW > ALLWIN_MAX_HW:
         return None
     Hrows = HW // W
-    wr = -(-(TP - 1) // W) + 2 + extra
+    wr = -(-(TP - 1) // W) + 2 + (2 if HAT_STACKED else 0) + extra
     WRc = min(wr, Hrows)
     WL = (WRc * W + 8 + 7) // 8 * 8
     if WL >= HW:
@@ -191,9 +204,10 @@ def _window_static_all(HW: int, W: int, TP: int, extra: int):
 
 def _tier_fits(py, TP: int, W: int, HW: int):
     """[(fits_scalar, (Hrows, WRc, WL)), ...] for each viable window
-    tier, tightest first. fits mirrors the kernels' per-tap (lo, hi)
-    computation; rows clipped to the grid because out-of-border rows
-    have no columns. Empty list = all-window disabled for this site."""
+    tier, tightest first. fits mirrors the kernels' (lo, hi)
+    computation (per tap, or jointly over taps in stacked mode); rows
+    clipped to the grid because out-of-border rows have no columns.
+    Empty list = all-window disabled for this site."""
     tiers = []
     for extra in ALLWIN_EXTRAS:
         ws = _window_static_all(HW, W, TP, extra)
@@ -203,9 +217,10 @@ def _tier_fits(py, TP: int, W: int, HW: int):
         return []
     B, G, Pp, K = py.shape
     Hrows = tiers[0][0]
+    axes = (3, 4) if HAT_STACKED else (3,)
     fl = jnp.floor(py).reshape(B, G, Pp // TP, TP, K)
-    lo = jnp.min(fl, axis=3)
-    hi = jnp.max(fl, axis=3) + 1.0
+    lo = jnp.min(fl, axis=axes)
+    hi = jnp.max(fl, axis=axes) + 1.0
     span = (jnp.minimum(hi, float(Hrows - 1))
             - jnp.maximum(lo, 0.0) + 1.0)
     mx = jnp.max(span)
@@ -390,6 +405,111 @@ def _fwd_kernel_allwin(K, W, Hrows, WRc, WL,
     out_ref[0, 0] = acc
 
 
+def _fwd_kernel_stacked(K, W, Hrows, WRc, WL,
+                        py_ref, px_ref, m_ref, xf_ref, w_ref, out_ref):
+    """Stacked all-window forward: one shared window, hats for all K
+    taps stacked into [K*TP, WL], ONE deep sampling dot."""
+    py = py_ref[0, 0]
+    px = px_ref[0, 0]
+    m = m_ref[0, 0]
+    TP = py.shape[0]
+    Cg = xf_ref.shape[3]
+    Cout = w_ref.shape[2]
+    lo = jnp.min(jnp.floor(py))
+    w0 = jnp.clip(lo, 0.0, float(Hrows - WRc))
+    sa = ((w0.astype(jnp.int32) * W) // 8) * 8
+    qy, qx = _grid_rows(WL, W, sa.astype(jnp.float32))
+    xwin = xf_ref[0, 0, pl.ds(sa, WL)]
+    rows = []
+    for k in range(K):
+        ay, bx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
+        rows.append((ay * bx * m[:, k:k + 1]).astype(jnp.bfloat16))
+    s_big = jnp.concatenate(rows, axis=0)  # [K*TP, WL]
+    u = jnp.dot(s_big, xwin, preferred_element_type=jnp.float32)
+    acc = jnp.zeros((TP, Cout), jnp.float32)
+    for k in range(K):
+        acc = acc + jnp.dot(u[k * TP:(k + 1) * TP].astype(jnp.bfloat16),
+                            w_ref[0, k * Cg:(k + 1) * Cg],
+                            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc
+
+
+def _bwd_kernel_stacked(K, W, Hrows, WRc, WL,
+                        py_ref, px_ref, m_ref, xf_ref, wt_ref, g_ref,
+                        dpy_ref, dpx_ref, dm_ref, dx_ref, dw_ref):
+    """Stacked all-window backward: dS / dx / samp as single deep dots
+    over the [K*TP, WL] stacked hats; VPU chains run once on the
+    stacked arrays."""
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    py = py_ref[0, 0]
+    px = px_ref[0, 0]
+    m = m_ref[0, 0]
+    gout = g_ref[0]
+    Cg = xf_ref.shape[3]
+    TP = py.shape[0]
+    dU = jnp.dot(gout.astype(jnp.bfloat16), wt_ref[0],
+                 preferred_element_type=jnp.float32)
+    gout_b = gout.astype(jnp.bfloat16)
+
+    @pl.when(t == 0)
+    def _():
+        dx_ref[0, 0] = jnp.zeros_like(dx_ref[0, 0])
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+
+    lo = jnp.min(jnp.floor(py))
+    w0 = jnp.clip(lo, 0.0, float(Hrows - WRc))
+    sa = ((w0.astype(jnp.int32) * W) // 8) * 8
+    qy, qx = _grid_rows(WL, W, sa.astype(jnp.float32))
+    xwin = xf_ref[0, 0, pl.ds(sa, WL)]
+
+    # Mosaic cannot concatenate [TP, 1] column vectors on the sublane
+    # axis, so the per-tap mask folds into the WIDE stacked arrays:
+    # s0 (no m) feeds dm, m*day*bx / m*ay*dbx feed dpy/dpx, m*s0 feeds
+    # dx / dW.
+    s0s, sms, days, dbxs = [], [], [], []
+    for k in range(K):
+        pyk = py[:, k:k + 1]
+        pxk = px[:, k:k + 1]
+        mk = m[:, k:k + 1]
+        ay, bx = _hats(pyk, pxk, qy, qx)
+        s0 = ay * bx
+        s0s.append(s0)
+        sms.append(s0 * mk)
+        days.append(_dhat(pyk, qy) * bx * mk)
+        dbxs.append(ay * _dhat(pxk, qx) * mk)
+    s0_big = jnp.concatenate(s0s, axis=0)    # [K*TP, WL]
+    sm_big = jnp.concatenate(sms, axis=0)
+    day_big = jnp.concatenate(days, axis=0)
+    dbx_big = jnp.concatenate(dbxs, axis=0)
+    dU_big = jnp.concatenate(
+        [dU[:, k * Cg:(k + 1) * Cg] for k in range(K)],
+        axis=0).astype(jnp.bfloat16)  # [K*TP, Cg]
+    dS = jax.lax.dot_general(
+        dU_big, xwin, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [K*TP, WL]
+    dm_a = jnp.sum(dS * s0_big, axis=1, keepdims=True)    # [K*TP, 1]
+    dpy_a = jnp.sum(dS * day_big, axis=1, keepdims=True)
+    dpx_a = jnp.sum(dS * dbx_big, axis=1, keepdims=True)
+    for k in range(K):
+        dm_ref[0, 0, :, k:k + 1] = dm_a[k * TP:(k + 1) * TP]
+        dpy_ref[0, 0, :, k:k + 1] = dpy_a[k * TP:(k + 1) * TP]
+        dpx_ref[0, 0, :, k:k + 1] = dpx_a[k * TP:(k + 1) * TP]
+    s_bbig = sm_big.astype(jnp.bfloat16)
+    dx_ref[0, 0, pl.ds(sa, WL)] += jax.lax.dot_general(
+        s_bbig, dU_big, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # one 1152-deep dot
+    samp = jnp.dot(s_bbig, xwin, preferred_element_type=jnp.float32)
+    for k in range(K):
+        dw_ref[0, k * Cg:(k + 1) * Cg] += jax.lax.dot_general(
+            samp[k * TP:(k + 1) * TP].astype(jnp.bfloat16), gout_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
 def _fwd_impl(py, px, m, xf, wg, W, win=None):
     """py/px/m [B,G,Pp,K] f32; xf [B,G,HW,Cg] bf16; wg [G,K*Cg,Cout]
     bf16 -> out [B,Pp,Cout] f32. The kernel writes per-group partial
@@ -404,7 +524,8 @@ def _fwd_impl(py, px, m, xf, wg, W, win=None):
         Hrows, WRc, WL = win
         xf = jnp.pad(xf, ((0, 0), (0, 0), (0, ALLWIN_PAD), (0, 0)))
         HWp = HW + ALLWIN_PAD
-        kern = functools.partial(_fwd_kernel_allwin, K, W, Hrows, WRc, WL)
+        kfn = _fwd_kernel_stacked if HAT_STACKED else _fwd_kernel_allwin
+        kern = functools.partial(kfn, K, W, Hrows, WRc, WL)
         scratch = []
         flops = 2 * B * G * K * Pp * WL * Cg + 2 * B * Pp * G * K * Cg * Cout
     else:
@@ -672,7 +793,8 @@ def _bwd_impl(py, px, m, xf, wt, g, W, win=None):
         Hrows, WRc, WL = win
         xf = jnp.pad(xf, ((0, 0), (0, 0), (0, ALLWIN_PAD), (0, 0)))
         HWp = HW + ALLWIN_PAD
-        kern = functools.partial(_bwd_kernel_allwin, K, W, Hrows, WRc, WL)
+        kfn = _bwd_kernel_stacked if HAT_STACKED else _bwd_kernel_allwin
+        kern = functools.partial(kfn, K, W, Hrows, WRc, WL)
         scratch = []
     else:
         HWp = HW
