@@ -164,11 +164,15 @@ HAT_ALLWIN = _os.environ.get("GSSD_HAT_ALLWIN", "1") == "1"
 # Measured on v5e (scripts/exp_hat_window.py + /tmp osig sweep,
 # flagship site b32): tier 2 fits offsets spread <= 2 px per (tile,
 # tap) and runs fwd+bwd 32.3 ms vs the fallback's 40.5; tier 6 covers
-# sigma <= ~0.8 px offsets at ~10% more window FLOPs; beyond that the
-# exact fallback kernels run (~1.4 ms dispatch overhead at sigma=1).
+# sigma <= ~0.8 px offsets at ~10% more window FLOPs; tier 10 catches
+# the drifted-training steps beyond that (in-context bench 279.0 with
+# tiers 2,6 -> 281.1 with 2,6,10 — training drifts offsets past tier
+# 1 within a few SGD steps, so the WIDE tiers carry the steady
+# state); past every tier the exact fallback kernels run (~1.4 ms
+# dispatch overhead at sigma=1).
 ALLWIN_EXTRAS = tuple(
     int(v) for v in
-    _os.environ.get("GSSD_HAT_ALLWIN_EXTRAS", "2,6").split(",") if v)
+    _os.environ.get("GSSD_HAT_ALLWIN_EXTRAS", "2,6,10").split(",") if v)
 ALLWIN_MAX_HW = int(_os.environ.get("GSSD_HAT_ALLWIN_MAX_HW", "4096"))
 ALLWIN_PAD = 16
 # Stacked all-window kernels: all K taps share ONE window (the union
