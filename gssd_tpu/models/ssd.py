@@ -36,10 +36,13 @@ from gssd_tpu.config import ModelConfig
 from gssd_tpu.ops.anchors import make_anchors
 from gssd_tpu.ops.deform_conv import DCN
 from gssd_tpu.ops.layers import (
+    STEM_PACK,
     ConvBNRelu,
     L2Norm,
     SelfAttention,
     max_pool,
+    pack_wpairs,
+    packed_pool2,
     xavier_uniform,
 )
 
@@ -118,12 +121,13 @@ class SSD(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
 
-        def conv(feats, name, k=3, s=1, p=1, d=1, groups=1, use_bn=None):
+        def conv(feats, name, k=3, s=1, p=1, d=1, groups=1, use_bn=None,
+                 packed=False):
             return ConvBNRelu(
                 feats * fs, kernel=k, stride=s, padding=p, dilation=d,
                 groups=groups,
                 use_bn=cfg.batch_norm if use_bn is None else use_bn,
-                dtype=dt, name=name,
+                dtype=dt, name=name, packed=packed,
             )
 
         aux: Dict[str, List[jnp.ndarray]] = {"offsets": [], "attn": [], "attn_base": []}
@@ -133,7 +137,24 @@ class SSD(nn.Module):
 
         # ---- VGG stage 1: through conv4_3 relu
         ci = 0
-        for v in VGG_STAGE1:
+        stage1 = list(VGG_STAGE1)
+        if (STEM_PACK and dt == jnp.bfloat16 and stage1[:3] == [64, 64, "M"]
+                and 64 * fs <= 64
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            # 64-channel stem at half lane occupancy: run conv1_1 ->
+            # BN/ReLU -> conv1_2 -> BN/ReLU -> pool1 in the W-pair
+            # packed layout (ops/layers.py STEM_PACK notes). Params
+            # and BN stats are packing-independent; bf16-only (the
+            # f32 transplant/eval path keeps the plain lowering).
+            xp = pack_wpairs(x)
+            xp = conv(64, "vgg_1", groups=cfg.groups_vgg,
+                      packed=True)(xp, train)
+            xp = conv(64, "vgg_2", groups=cfg.groups_vgg,
+                      packed=True)(xp, train)
+            x = packed_pool2(xp)
+            stage1 = stage1[3:]
+            ci = 2
+        for v in stage1:
             if v == "M":
                 x = max_pool(x, 2, 2)
             elif v == "C":

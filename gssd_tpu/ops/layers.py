@@ -266,8 +266,138 @@ DENSE_GROUPS_MIN_HW = 5000
 DENSE_GROUPS_MAX_CIN_PER_GROUP = 64
 
 
+# --- W-pair channel packing for the 64-channel stem ------------------
+#
+# At C = 64 every (8, 128)-tiled tensor pass wastes HALF its lanes, so
+# the stem's conv/BN/ReLU/pool chain runs at <= 50% of HBM bandwidth.
+# Packing W-pixel pairs into channels ([B, H, W, C] -> [B, H, W/2, 2C],
+# a free logical reshape) makes every pass full-lane; a 3x3 conv in
+# packed space uses an embedded [3, 3, 2Ci, 2Co] weight
+#   wp[ky, kt, q*Ci + ci, p*Co + co] = w[ky, 2*(kt-1)+q-p+1, ci, co]
+# (taps with |2*(kt-1)+q-p| > 1 are zero), exactly reproducing the
+# original conv including its zero padding at 2x the MACs — these
+# convs are bandwidth-bound, so the extra MACs are free. Measured on
+# v5e (scripts/exp_packstem.py, fwd+bwd standalone b32 @300^2x64):
+# conv 15.0 -> 8.1 ms, BN+ReLU 3.5 -> 2.8, full stem chain 28.1 ->
+# 26.0 with the lane-max+reduce_window pool.
+STEM_PACK = os.environ.get("GSSD_PACKED_STEM", "1") == "1"
+
+
+def pack_wpairs(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def pack_pair_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, Ci, Co] -> [3, 3, 2Ci, 2Co] W-pair embedded weight."""
+    ky, kw, ci, co = w.shape
+    wp = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            for kt in (0, 1, 2):
+                dw = 2 * (kt - 1) + q - p
+                if abs(dw) <= 1:
+                    wp = wp.at[:, kt, q * ci:(q + 1) * ci,
+                               p * co:(p + 1) * co].set(w[:, dw + 1])
+    return wp
+
+
+def packed_pool2(xp: jnp.ndarray) -> jnp.ndarray:
+    """2x2/s2 max pool on a W-pair packed map: the W-pair max is a
+    lane-half maximum, the H-pair max a reduce_window; the result is
+    the UNPACKED [B, H/2, W/2, C] pool output (pair index == pooled w
+    coordinate). Tie gradients split jnp.maximum-style instead of
+    SelectAndScatter's first-match (ties are ReLU zeros whose grad
+    dies in the ReLU backward)."""
+    c = xp.shape[3] // 2
+    wmax = jnp.maximum(xp[..., :c], xp[..., c:])
+    return jax.lax.reduce_window(
+        wmax, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1),
+        [(0, 0)] * 4)
+
+
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over the ORIGINAL C channels of a W-pair packed
+    [B, H, W/2, 2C] tensor. Parameter/stat tree identical to
+    nn.BatchNorm (params scale/bias [C]; batch_stats mean/var [C]) so
+    checkpoints are packing-independent; lane stats fold exactly
+    (the two parities are equal-count disjoint samples)."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xp):
+        c = xp.shape[-1] // 2
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = xp.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            s1 = jnp.mean(xf, axis=(0, 1, 2))
+            s2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            mean = 0.5 * (s1[:c] + s1[c:])
+            var = 0.5 * (s2[:c] + s2[c:]) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        sc = jnp.tile(scale * jax.lax.rsqrt(var + self.epsilon), 2)
+        bi = jnp.tile(bias - mean * scale
+                      * jax.lax.rsqrt(var + self.epsilon), 2)
+        return xf * sc + bi
+
+
+class _PackedPairConv(nn.Module):
+    """3x3/s1/same (optionally grouped) conv on a W-pair packed input.
+    Parameter layout identical to the grouped nn.Conv / _BlockDiagConv
+    ([3, 3, Cin/G, Cout] + bias), so checkpoints and transplants are
+    lowering-independent; block-diag expansion and pair embedding both
+    happen at trace time and their VJPs slice the gradient back."""
+
+    features: int
+    groups: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, xp):
+        cin = xp.shape[-1] // 2
+        cgi = cin // self.groups
+        cgo = self.features // self.groups
+        w = self.param("kernel", xavier_uniform,
+                       (3, 3, cgi, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        if self.groups > 1:
+            parts = [
+                jnp.pad(w[:, :, :, g * cgo:(g + 1) * cgo],
+                        ((0, 0), (0, 0),
+                         (g * cgi, (self.groups - 1 - g) * cgi), (0, 0)))
+                for g in range(self.groups)
+            ]
+            wd = jnp.concatenate(parts, axis=3)
+        else:
+            wd = w
+        wp = pack_pair_weight(wd).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), wp, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(b, 2).astype(self.dtype)
+
+
 class ConvBNRelu(nn.Module):
-    """Grouped conv + optional BatchNorm + optional ReLU."""
+    """Grouped conv + optional BatchNorm + optional ReLU.
+
+    With ``packed=True`` the input/output are W-pair packed
+    [B, H, W/2, 2C] (see STEM_PACK above); only the 3x3/s1/same
+    configuration the stem uses is supported there."""
 
     features: int
     kernel: int = 3
@@ -278,9 +408,21 @@ class ConvBNRelu(nn.Module):
     use_bn: bool = False
     relu: bool = True
     dtype: Dtype = jnp.bfloat16
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.packed:
+            assert (self.kernel, self.stride, self.dilation) == (3, 1, 1)
+            x = _PackedPairConv(self.features, self.groups, self.dtype,
+                                name="Conv_0")(x)
+            if self.use_bn:
+                x = PackedBatchNorm(use_running_average=not train,
+                                    name="BatchNorm_0")(x)
+                x = x.astype(self.dtype)
+            if self.relu:
+                x = nn.relu(x)
+            return x
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]

@@ -55,6 +55,104 @@ def test_max_pool_mask_bwd_matches_reduce_window(rng, monkeypatch):
         np.testing.assert_allclose(dx[~ties], dx_rw[~ties], rtol=1e-5)
 
 
+def test_packed_stem_convbnrelu_matches_plain(rng):
+    """ConvBNRelu(packed=True) on a W-pair packed input must equal the
+    plain lowering on the unpacked input with the SAME params (and the
+    same param/batch_stats tree), including the grouped/block-diag
+    case and the BN train-mode running-stat update."""
+    import jax
+    import gssd_tpu.ops.layers as L
+
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 8)), jnp.bfloat16)
+    plain = L.ConvBNRelu(8, kernel=3, padding=1, groups=4, use_bn=True,
+                         dtype=jnp.bfloat16)
+    packed = L.ConvBNRelu(8, kernel=3, padding=1, groups=4, use_bn=True,
+                          dtype=jnp.bfloat16, packed=True)
+    vp = plain.init(jax.random.PRNGKey(0), x, train=True)
+    vq = packed.init(jax.random.PRNGKey(0), L.pack_wpairs(x), train=True)
+    assert jax.tree_util.tree_structure(vp) == jax.tree_util.tree_structure(vq)
+    # run packed with the PLAIN path's params (transplant direction)
+    yq, mq = packed.apply(
+        {"params": vp["params"], "batch_stats": vp["batch_stats"]},
+        L.pack_wpairs(x), train=True, mutable=["batch_stats"])
+    yp, mp = plain.apply(vp, x, train=True, mutable=["batch_stats"])
+    got = np.asarray(yq.reshape(yp.shape), np.float32)
+    want = np.asarray(yp, np.float32)
+    np.testing.assert_allclose(got, want, atol=0.02 * max(1e-3, np.abs(want).max()))
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mq["batch_stats"]["BatchNorm_0"][k]),
+            np.asarray(mp["batch_stats"]["BatchNorm_0"][k]),
+            rtol=2e-2, atol=1e-3)
+
+
+def test_packed_pool2_matches_max_pool(rng):
+    import gssd_tpu.ops.layers as L
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 4)), jnp.float32)
+    want = np.asarray(max_pool(x, 2, 2))
+    got = np.asarray(L.packed_pool2(L.pack_wpairs(x)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_stem_region_matches_plain(rng):
+    """The full packed stem region (conv -> BN/ReLU -> conv -> BN/ReLU
+    -> pool, as models/ssd.py wires it) vs the plain lowering on the
+    same params, gradients included."""
+    import gssd_tpu.ops.layers as L
+    from flax import linen as nn
+
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 8)), jnp.bfloat16)
+
+    class Region(nn.Module):
+        packed: bool
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            if self.packed:
+                xp = L.pack_wpairs(x)
+                for name in ("vgg_1", "vgg_2"):
+                    xp = L.ConvBNRelu(8, padding=1, groups=4, use_bn=True,
+                                      dtype=jnp.bfloat16, packed=True,
+                                      name=name)(xp, train)
+                return L.packed_pool2(xp)
+            for name in ("vgg_1", "vgg_2"):
+                x = L.ConvBNRelu(8, padding=1, groups=4, use_bn=True,
+                                 dtype=jnp.bfloat16, name=name)(x, train)
+            return max_pool(x, 2, 2)
+
+    plain, packed = Region(packed=False), Region(packed=True)
+    v = plain.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(mod):
+        def f(params):
+            y, _ = mod.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return f
+
+    yp = plain.apply(v, x, train=False)
+    yq = packed.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(yq, np.float32),
+                               np.asarray(yp, np.float32),
+                               atol=0.02 * max(1e-3,
+                                               float(jnp.abs(yp).max())))
+    gp = jax.grad(loss(plain))(v["params"])
+    gq = jax.grad(loss(packed))(v["params"])
+    # conv biases under BN have exactly-zero true gradients (centering
+    # cancels them), so per-leaf normalization would amplify noise;
+    # compare at the global gradient scale instead
+    gscale = max(float(jnp.abs(g).max())
+                 for g in jax.tree_util.tree_leaves(gp))
+
+    def cmp(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        np.testing.assert_allclose(b / gscale, a / gscale, atol=0.03)
+
+    jax.tree_util.tree_map(cmp, gp, gq)
+
+
 def test_max_pool_3x3_s1_p1(rng):
     x = rng.normal(size=(1, 19, 19, 4)).astype(np.float32)
     got = np.asarray(max_pool(jnp.asarray(x), 3, 1, padding=1))
