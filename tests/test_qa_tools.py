@@ -216,3 +216,71 @@ class TestContactSheets:
         sheet2 = contact_sheet_year2(phases, phases, mask, 1)
         assert sheet2.shape == (16, 40)
         assert np.all(sheet2[:8, 32:] == 0)  # top-right cell empty
+
+
+from gssd_tpu.preprocessing.hygiene import (  # noqa: E402
+    clean_aligned_set,
+    clean_sample,
+    fix_drop_structure,
+)
+
+
+class TestHygiene:
+    def test_fix_structure_renames(self, tmp_path):
+        d = tmp_path / "ct" / "S1" / "V"
+        d.mkdir(parents=True)
+        (d / "V_0012.DCM").write_bytes(b"x")
+        (tmp_path / "ct" / "S2" / "P").mkdir(parents=True)
+        report = fix_drop_structure(str(tmp_path / "ct"))
+        assert "renamed phase 'V' -> 'P'" in report["S1"]
+        assert (tmp_path / "ct" / "S1" / "P" / "P_0012.DCM").exists()
+        assert "S2" not in report
+
+    def test_fix_structure_pv_collision_skipped(self, tmp_path):
+        s = tmp_path / "ct" / "S1"
+        (s / "V").mkdir(parents=True)
+        (s / "P").mkdir()
+        report = fix_drop_structure(str(tmp_path / "ct"))
+        assert "both" in report["S1"][0]
+        assert (s / "V").exists()  # untouched
+
+    def test_fix_structure_roi_mismatch(self, tmp_path):
+        (tmp_path / "ct" / "S1" / "A").mkdir(parents=True)
+        (tmp_path / "roi" / "S2" / "A").mkdir(parents=True)
+        report = fix_drop_structure(
+            str(tmp_path / "ct"), str(tmp_path / "roi"))
+        assert "mismatch" in report["*"][0]
+
+    def test_clean_sample(self):
+        ct = np.linspace(-0.5, 1.5, 48).reshape(4, 3, 2, 2)
+        mask = np.zeros((32, 32), np.float32)
+        mask[4:10, 4:12] = 0.9  # survives the 0.5 binarize
+        mask[20:22, 20:22] = 0.3  # does not
+        ct2, mask2, boxes = clean_sample(ct, mask)
+        assert ct2.min() == 0.0 and ct2.max() == 1.0
+        assert set(np.unique(mask2)) == {0, 1}
+        assert boxes.shape == (1, 5)
+        assert boxes[0].tolist() == [4.0, 4.0, 12.0, 10.0, 0.0]
+
+    def test_clean_aligned_set(self, tmp_path):
+        src = tmp_path / "align"
+        orig = tmp_path / "orig"
+        out = tmp_path / "clean"
+        (src / "S1").mkdir(parents=True)
+        (orig / "S1").mkdir(parents=True)
+        (orig / "metadata.txt").write_text("S1/S1_0|S1\nS1/S1_1|S1\n")
+        ct = np.full((4, 3, 16, 16), 1.2, np.float32)
+        mask = np.zeros((16, 16), np.float32)
+        mask[2:6, 2:6] = 1.0
+        np.save(src / "S1" / "S1_0_ct.npy", ct)
+        np.save(src / "S1" / "S1_0_mask.npy", mask)
+        # orig had TWO lesions -> warn on the count change
+        np.save(orig / "S1" / "S1_0_bbox.npy",
+                np.zeros((2, 5), np.float32))
+        warnings = clean_aligned_set(
+            str(orig / "metadata.txt"), str(src), str(out))
+        assert warnings == ["S1/S1_0: lesion count 2 -> 1"]
+        assert np.load(out / "S1" / "S1_0_ct.npy").max() == 1.0
+        assert np.load(out / "S1" / "S1_0_bbox.npy").shape == (1, 5)
+        # sample missing from the aligned set is skipped silently
+        assert not (out / "S1" / "S1_1_ct.npy").exists()
