@@ -37,6 +37,8 @@ from gssd_tpu.ops.anchors import make_anchors
 from gssd_tpu.ops.deform_conv import DCN
 from gssd_tpu.ops.layers import (
     STEM_PACK,
+    STEM_PACK2,
+    STEM_PACK2_MAX_HW,
     ConvBNRelu,
     L2Norm,
     SelfAttention,
@@ -154,6 +156,26 @@ class SSD(nn.Module):
             x = packed_pool2(xp)
             stage1 = stage1[3:]
             ci = 2
+            if (STEM_PACK2 and stage1 and stage1[0] == 128
+                    and x.shape[2] % 2 == 0
+                    and x.shape[1] * x.shape[2] <= STEM_PACK2_MAX_HW):
+                # conv2_1's INPUT is the last half-lane (C = 64)
+                # tensor: re-pack the pool output (another
+                # offset-preserving reshape) and run conv2_1 packed
+                # too; its C = 128 output fills the lanes, so unpack
+                # there and let the plain path take over. Gated by map
+                # size: the pair-embedded dense weight quadruples the
+                # MACs (309 vs 77 GF at the 512 model's 256^2 site,
+                # XLA cost model), which stops being bandwidth-hidden
+                # on large maps — measured 512 bench 96.4 -> 78.6
+                # slices/s, so 256^2 is OUT; 150^2 (the 300 model)
+                # gate pending its own A/B.
+                xp = conv(128, "vgg_3", groups=cfg.groups_vgg,
+                          packed=True)(pack_wpairs(x), train)
+                b_, h_, w2_, c2_ = xp.shape
+                x = xp.reshape(b_, h_, 2 * w2_, c2_ // 2)
+                stage1 = stage1[1:]
+                ci = 3
         for v in stage1:
             if v == "M":
                 x = max_pool(x, 2, 2)

@@ -261,9 +261,17 @@ DENSE_GROUPS_MIN_HW = 5000
 # ... but only when the per-group contraction depth is too shallow for
 # the MXU. Measured on v5e (scripts/exp_trunk3.py, fwd+bwd b32):
 # 150^2 128ch (cin/g=32): grouped 10.1 ms vs dense 3.7 ms — dense wins;
-# 75^2 256ch (cin/g=64): grouped 3.6 ms vs dense 4.0 ms — grouped wins;
-# 38^2 512ch (cin/g=128): grouped 2.3 ms vs dense 4.4 ms.
-DENSE_GROUPS_MAX_CIN_PER_GROUP = 64
+# 75^2 256ch (cin/g=64): grouped 3.6 ms vs dense 4.0 ms standalone,
+# BUT the grouped lowering forces [B, H, W, G, Cg] 5-D layouts onto
+# every neighboring BN/ReLU fusion, and at Cg = 64 those tensors tile
+# (8, 128) with HALF their lanes empty (xplane: six 0.6-1.1 ms
+# [32,75,75,4,64] fusions) — in-context the dense form wins and
+# Cg = 64 is INCLUDED in the dense range (same-regime bench A/B:
+# 300.3 -> 306.5 slices/s @300^2 b32);
+# 38^2 512ch (cin/g=128): grouped 2.3 ms vs dense 4.4 ms (and Cg = 128
+# fills the lanes, so no layout externality) — grouped stays.
+DENSE_GROUPS_MAX_CIN_PER_GROUP = int(
+    os.environ.get("GSSD_DENSE_MAX_CGI", "65"))
 
 
 # --- W-pair channel packing for the 64-channel stem ------------------
@@ -281,6 +289,18 @@ DENSE_GROUPS_MAX_CIN_PER_GROUP = 64
 # conv 15.0 -> 8.1 ms, BN+ReLU 3.5 -> 2.8, full stem chain 28.1 ->
 # 26.0 with the lane-max+reduce_window pool.
 STEM_PACK = os.environ.get("GSSD_PACKED_STEM", "1") == "1"
+# ... extended one conv deeper: conv2_1's input is the last C = 64
+# tensor, so models/ssd.py can re-pack the pool1 output and run
+# conv2_1 packed too. Measured and kept OFF: the pair-embedded dense
+# conv2_1 weight carries 4x the MACs (block-diag x pair), which loses
+# to the half-lane input it fixes at BOTH sites — 512 model 96.4 ->
+# 78.6 slices/s (256^2), flagship 300.3 -> 279.9 (150^2), same-regime
+# bench A/Bs. Unlike conv1_x (Ci = 3/16 per pair half), conv2_1's
+# per-group contraction is deep enough that the stem's
+# bandwidth-bound argument no longer holds.
+STEM_PACK2 = os.environ.get("GSSD_PACKED_STEM2", "0") == "1"
+STEM_PACK2_MAX_HW = int(os.environ.get("GSSD_PACKED_STEM2_MAX_HW",
+                                       "40000"))
 
 
 def pack_wpairs(x: jnp.ndarray) -> jnp.ndarray:

@@ -115,11 +115,20 @@ def test_packed_stem_region_matches_plain(rng):
                     xp = L.ConvBNRelu(8, padding=1, groups=4, use_bn=True,
                                       dtype=jnp.bfloat16, packed=True,
                                       name=name)(xp, train)
-                return L.packed_pool2(xp)
+                # conv2_1 extension: re-pack the pool output and unpack
+                # after the conv, as models/ssd.py wires it
+                xp = L.ConvBNRelu(16, padding=1, groups=4, use_bn=True,
+                                  dtype=jnp.bfloat16, packed=True,
+                                  name="vgg_3")(
+                    L.pack_wpairs(L.packed_pool2(xp)), train)
+                b_, h_, w2_, c2_ = xp.shape
+                return xp.reshape(b_, h_, 2 * w2_, c2_ // 2)
             for name in ("vgg_1", "vgg_2"):
                 x = L.ConvBNRelu(8, padding=1, groups=4, use_bn=True,
                                  dtype=jnp.bfloat16, name=name)(x, train)
-            return max_pool(x, 2, 2)
+            return L.ConvBNRelu(16, padding=1, groups=4, use_bn=True,
+                                dtype=jnp.bfloat16, name="vgg_3")(
+                max_pool(x, 2, 2), train)
 
     plain, packed = Region(packed=False), Region(packed=True)
     v = plain.init(jax.random.PRNGKey(0), x, train=True)
@@ -148,7 +157,10 @@ def test_packed_stem_region_matches_plain(rng):
 
     def cmp(a, b):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
-        np.testing.assert_allclose(b / gscale, a / gscale, atol=0.03)
+        # bf16 grads through two different-but-exact contraction orders
+        # (pair-embedded vs plain) accumulate a few percent of
+        # reordering noise at the global scale
+        np.testing.assert_allclose(b / gscale, a / gscale, atol=0.06)
 
     jax.tree_util.tree_map(cmp, gp, gq)
 
