@@ -11,10 +11,13 @@ fwd+bwd throughput on this host's CPU (the reference stack is
 torch-only; no GPU exists here). The torch number is measured once and
 cached in BENCH_TORCH_BASELINE.json.
 
-The line also carries ``mfu`` (model FLOPs utilization: XLA cost-model
-FLOPs of the whole compiled train step / wall time / chip bf16 peak)
-and, in the default size-300 run, a nested ``cfg512_b8`` measurement of
-the BASELINE.json north-star config (4-phase 512x512 slices).
+The line also carries ``mfu`` (XLA cost-model FLOPs of the whole
+compiled train step / wall time / chip bf16 peak — i.e. HARDWARE flop
+utilization: the block-diagonal dense grouped convs and the W-pair
+packed stem execute provably-zero MACs the cost model counts, so this
+reads a few points above useful-model-flops MFU) and, in the default
+size-300 run, a nested ``cfg512_b8`` measurement of the BASELINE.json
+north-star config (4-phase 512x512 slices).
 
 Usage: python bench.py [--iters N] [--batch B] [--size {300,512}]
                        [--skip-torch] [--skip-512]

@@ -266,8 +266,9 @@ DENSE_GROUPS_MIN_HW = 5000
 # every neighboring BN/ReLU fusion, and at Cg = 64 those tensors tile
 # (8, 128) with HALF their lanes empty (xplane: six 0.6-1.1 ms
 # [32,75,75,4,64] fusions) — in-context the dense form wins and
-# Cg = 64 is INCLUDED in the dense range (same-regime bench A/B:
-# 300.3 -> 306.5 slices/s @300^2 b32);
+# Cg = 64 is INCLUDED in the dense range (same-regime bench A/Bs:
+# 300.3 -> 306.5 slices/s @300^2 b32; 92.8 -> 97.9 @512 b8, where the
+# same Cg = 64 stage sits at 128^2);
 # 38^2 512ch (cin/g=128): grouped 2.3 ms vs dense 4.4 ms (and Cg = 128
 # fills the lanes, so no layout externality) — grouped stays.
 DENSE_GROUPS_MAX_CIN_PER_GROUP = int(
