@@ -187,6 +187,15 @@ ALLWIN_PAD = 16
 # concatenated on the sublane axis — fold per-tap scalars into the
 # wide arrays instead.)
 HAT_STACKED = _os.environ.get("GSSD_HAT_STACKED", "0") == "1"
+# bf16 hat products in the all-window BACKWARD's VPU chains (round-3
+# lead): the [TP, WL] elementwise products and the dm/dpy/dpx lane
+# reductions run in bf16 (each sum has <= 4 nonzero terms — the 2x2
+# hat support — so bf16 accumulation is exact to ~1e-2 relative on the
+# offset/mask grads, which only feed the offset-predictor conv). The
+# window-start / floor / fits computations STAY f32: they must agree
+# bit-for-bit with the XLA-side _tier_fits proof or a window could
+# silently drop support. Default off pending an in-context win.
+HAT_BF16_BWD = _os.environ.get("GSSD_HAT_BF16", "0") == "1"
 
 
 def _window_static_all(HW: int, W: int, TP: int, extra: int):
@@ -753,27 +762,31 @@ def _bwd_kernel_allwin(K, W, Hrows, WRc, WL,
     def _():
         dw_ref[0] = jnp.zeros_like(dw_ref[0])
 
+    cvt = ((lambda a: a.astype(jnp.bfloat16)) if HAT_BF16_BWD
+           else (lambda a: a))
     for k in range(K):
-        mk = m[:, k:k + 1]
+        mk = cvt(m[:, k:k + 1])
         pyk = py[:, k:k + 1]
         pxk = px[:, k:k + 1]
         dU_k = dU[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16)
         sa = _tap_window_start(pyk, Hrows, WRc, W)
         qy, qx = _grid_rows(WL, W, sa.astype(jnp.float32))
         ay, bx = _hats(pyk, pxk, qy, qx)
+        ay, bx = cvt(ay), cvt(bx)
         xwin = xf_ref[0, 0, pl.ds(sa, WL)]
-        dS = jax.lax.dot_general(
+        dS = cvt(jax.lax.dot_general(
             dU_k, xwin, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32))
         s0 = ay * bx
         mdS = dS * mk
-        day = _dhat(pyk, qy)
-        dbx = _dhat(pxk, qx)
-        dm_ref[0, 0, :, k:k + 1] = jnp.sum(dS * s0, axis=1, keepdims=True)
-        dpy_ref[0, 0, :, k:k + 1] = jnp.sum(mdS * day * bx, axis=1,
-                                            keepdims=True)
-        dpx_ref[0, 0, :, k:k + 1] = jnp.sum(mdS * ay * dbx, axis=1,
-                                            keepdims=True)
+        day = cvt(_dhat(pyk, qy))
+        dbx = cvt(_dhat(pxk, qx))
+        dm_ref[0, 0, :, k:k + 1] = jnp.sum(
+            dS * s0, axis=1, keepdims=True).astype(jnp.float32)
+        dpy_ref[0, 0, :, k:k + 1] = jnp.sum(
+            mdS * day * bx, axis=1, keepdims=True).astype(jnp.float32)
+        dpx_ref[0, 0, :, k:k + 1] = jnp.sum(
+            mdS * ay * dbx, axis=1, keepdims=True).astype(jnp.float32)
         s_b = (s0 * mk).astype(jnp.bfloat16)
         dx_ref[0, 0, pl.ds(sa, WL)] += jax.lax.dot_general(
             s_b, dU_k, dimension_numbers=(((0,), (0,)), ((), ())),
