@@ -11,13 +11,26 @@ fwd+bwd throughput on this host's CPU (the reference stack is
 torch-only; no GPU exists here). The torch number is measured once and
 cached in BENCH_TORCH_BASELINE.json.
 
-The line also carries ``mfu`` (XLA cost-model FLOPs of the whole
-compiled train step / wall time / chip bf16 peak — i.e. HARDWARE flop
-utilization: the block-diagonal dense grouped convs and the W-pair
-packed stem execute provably-zero MACs the cost model counts, so this
-reads a few points above useful-model-flops MFU) and, in the default
-size-300 run, a nested ``cfg512_b8`` measurement of the BASELINE.json
-north-star config (4-phase 512x512 slices).
+The line carries two utilization numbers:
+
+- ``mfu_hw`` (also ``mfu`` for continuity): XLA cost-model FLOPs of
+  the PRODUCTION compiled step / wall time / chip bf16 peak — hardware
+  flop utilization. The block-diagonal dense grouped convs and the
+  W-pair packed stem execute provably-zero/duplicated MACs the cost
+  model counts, and the flash-attention/hat-DCN kernels recompute in
+  the backward, so this overstates useful work.
+- ``mfu_model``: analytic FLOPs of the REFERENCE-EQUIVALENT
+  computation (true grouped convs, unpacked stem, plain attention,
+  gather-form DCN — the graph as the math defines it, lowered with
+  every packing/duplication trick disabled and cost-analyzed on CPU)
+  / the SAME wall time / peak. This is the honest useful-flops MFU.
+
+The default size-300 run also nests a ``cfg512_b8`` measurement of the
+BASELINE.json north-star config (4-phase 512x512 slices).
+
+Bench batches carry production-shaped targets: max_gt=16 padded boxes
+with 2 valid lesions per slice (LossConfig.max_gt_boxes), so the
+matcher/OHNM slice of the step is represented at its real cost.
 
 Usage: python bench.py [--iters N] [--batch B] [--size {300,512}]
                        [--skip-torch] [--skip-512]
@@ -168,6 +181,30 @@ def _step_flops(compiled) -> float | None:
         return None
 
 
+def make_bench_batch(rng, batch: int, size: int, max_gt: int = 16,
+                     np_mod=np):
+    """Production-shaped batch: images + max_gt-padded targets with 2
+    valid lesion boxes per slice (the matcher/OHNM path then does its
+    real per-step work, unlike a single-gt toy batch)."""
+    boxes = np.zeros((batch, max_gt, 4), np.float32)
+    labels = np.zeros((batch, max_gt), np.int32)
+    valid = np.zeros((batch, max_gt), bool)
+    for i in range(batch):
+        for g in range(2):
+            cx, cy = rng.uniform(0.25, 0.75, 2)
+            w, h = rng.uniform(0.05, 0.25, 2)
+            boxes[i, g] = [max(cx - w, 0.01), max(cy - h, 0.01),
+                           min(cx + w, 0.99), min(cy + h, 0.99)]
+            valid[i, g] = True
+    return {
+        "image": rng.uniform(0, 1, (batch, size, size, 12)).astype(
+            np.float32),
+        "boxes": boxes,
+        "labels": labels,
+        "valid": valid,
+    }
+
+
 def measure_jax(batch: int, iters: int, size: int = 300):
     """Returns (slices_per_sec, mfu_or_None, flops_per_step_or_None)."""
     import dataclasses
@@ -190,15 +227,8 @@ def measure_jax(batch: int, iters: int, size: int = 300):
                    donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
-    batch_data = {
-        "image": jnp.asarray(
-            rng.uniform(0, 1, (batch, size, size, 12)).astype(np.float32)),
-        "boxes": jnp.asarray(
-            np.tile(np.asarray([0.3, 0.3, 0.6, 0.6], np.float32),
-                    (batch, 1, 1))),
-        "labels": jnp.zeros((batch, 1), jnp.int32),
-        "valid": jnp.ones((batch, 1), bool),
-    }
+    batch_data = {k: jnp.asarray(v)
+                  for k, v in make_bench_batch(rng, batch, size).items()}
     compiled = step.lower(state, batch_data).compile()
     flops = _step_flops(compiled)
     # warmup / compile, then a burn-in loop: the tunneled device inflates
@@ -226,6 +256,104 @@ def measure_jax(batch: int, iters: int, size: int = 300):
     return sps, mfu, flops
 
 
+MODEL_FLOPS_CACHE = os.path.join(REPO, "MODEL_FLOPS_CACHE.json")
+
+# env that disables every flop-inflating lowering trick; combined with
+# dcn_impl='xla' (gather-form DCN) and the plain attention path this is
+# the reference-equivalent computation
+MODEL_FLOPS_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "PALLAS_AXON_POOL_IPS": "",
+    "GSSD_PACKED_STEM": "0",
+    "GSSD_PACKED_STEM2": "0",
+    "GSSD_DENSE_MAX_CGI": "0",   # never use block-diag dense groups
+    "GSSD_FLASH_ATTN": "0",
+}
+
+
+def compute_model_flops(batch: int, size: int) -> float:
+    """Analytic FLOPs of one reference-equivalent train step: trace +
+    lower on CPU (no compile, no TPU) and read XLA's HLO cost analysis
+    of the as-written graph. Must run in a process with
+    MODEL_FLOPS_ENV applied (the lowering gates are import-time)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gssd_tpu.config import LossConfig, OptimConfig
+    from gssd_tpu.models import build_model
+    from gssd_tpu.train import make_train_step
+    from gssd_tpu.train.state import TrainState, make_optimizer
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = dataclasses.replace(_flagship_cfg(), size=size, dcn_impl="xla")
+    model, priors = build_model(cfg)
+    # shape-only state: eval_shape avoids the multi-minute CPU compile
+    # of the real init
+    x_struct = jax.ShapeDtypeStruct((1, size, size, 12), jnp.float32)
+    variables = jax.eval_shape(
+        lambda r, x: model.init(r, x, train=False),
+        jax.random.PRNGKey(0), x_struct)
+    tx = make_optimizer(OptimConfig())
+    opt_struct = jax.eval_shape(tx.init, variables["params"])
+    state = TrainState(
+        step=jax.ShapeDtypeStruct((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        spectral=variables.get("spectral", {}),
+        opt_state=opt_struct,
+        tx=tx,
+    )
+    rng = np.random.default_rng(0)
+    batch_struct = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        make_bench_batch(rng, batch, size))
+    step = make_train_step(model, priors, LossConfig(), OptimConfig())
+    lowered = jax.jit(step).lower(state, batch_struct)
+    try:
+        ca = lowered.cost_analysis()
+    except Exception:
+        ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def model_flops(batch: int, size: int, refresh: bool = False):
+    """Cached reference-equivalent step FLOPs (subprocess: the lowering
+    gates are read at import time). Returns None on failure — the
+    bench line then reports mfu_model: null rather than dying."""
+    import subprocess
+
+    key = f"{size}_b{batch}"
+    data = {}
+    if os.path.exists(MODEL_FLOPS_CACHE):
+        try:
+            with open(MODEL_FLOPS_CACHE) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+    if not refresh and key in data:
+        return data[key]
+    env = dict(os.environ, **MODEL_FLOPS_ENV)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--model-flops-only", "--size", str(size),
+             "--batch", str(batch)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        flops = json.loads(out.stdout.strip().splitlines()[-1])[
+            "model_flops"]
+    except Exception:
+        return None
+    data[key] = flops
+    with open(MODEL_FLOPS_CACHE, "w") as f:
+        json.dump(data, f)
+    return flops
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
@@ -240,10 +368,25 @@ def main():
                          "default (size-300) run")
     ap.add_argument("--internal-json", action="store_true",
                     help=argparse.SUPPRESS)
+    ap.add_argument("--model-flops-only", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--refresh-model-flops", action="store_true",
+                    help="recompute the reference-equivalent FLOPs "
+                         "instead of using MODEL_FLOPS_CACHE.json")
     args = ap.parse_args()
     batch = args.batch or (32 if args.size == 300 else 8)
 
+    if args.model_flops_only:
+        print(json.dumps(
+            {"model_flops": compute_model_flops(batch, args.size)}))
+        return
+
     tpu_sps, mfu, flops = measure_jax(batch, args.iters, args.size)
+    mflops = model_flops(batch, args.size, args.refresh_model_flops)
+    mfu_model = None
+    if mflops is not None and flops and mfu is not None:
+        # same wall time, model flops instead of hardware flops
+        mfu_model = mfu * mflops / flops
 
     torch_sps = None
     if os.path.exists(BASELINE_CACHE):
@@ -266,7 +409,10 @@ def main():
         "unit": "slices/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu_hw": round(mfu, 4) if mfu is not None else None,
+        "mfu_model": round(mfu_model, 4) if mfu_model is not None else None,
         "flops_per_step": flops,
+        "model_flops_per_step": mflops,
     }
     if args.internal_json:
         print(json.dumps(line))
@@ -292,7 +438,10 @@ def main():
             line["cfg512_b8"] = {
                 "slices_per_sec": sub["value"],
                 "mfu": sub["mfu"],
+                "mfu_hw": sub.get("mfu_hw"),
+                "mfu_model": sub.get("mfu_model"),
                 "flops_per_step": sub["flops_per_step"],
+                "model_flops_per_step": sub.get("model_flops_per_step"),
             }
         except Exception as e:  # never lose the primary line
             line["cfg512_b8"] = {"error": str(e)[:200]}

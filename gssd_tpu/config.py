@@ -251,15 +251,13 @@ class TrainConfig:
     iobb_list: Tuple[float, ...] = (0.3, 0.5, 0.7)
     confidence_threshold: float = 0.2
     use_07_metric: bool = False
-    # parallelism
-    data_axis: int = 1  # devices on the 'data' mesh axis
 
 
 @dataclass(frozen=True)
 class PixelLinkConfig:
     """Reference: pixel_link/pixel_link_config.py module constants."""
 
-    version: str = "2s"  # '2s' or '4s'
+    version: str = "4s"  # '2s' or '4s' (reference default: pixel_link_config.py:2)
     pixel_weight: float = 2.0
     link_weight: float = 1.0
     neg_pos_ratio: int = 3

@@ -59,7 +59,7 @@ class SSDAugmentation:
         p_only: bool = False,
         seed: int = 1111,
         pixel_link_size: Optional[int] = None,
-        pixel_link_version: str = "2s",
+        pixel_link_version: str = "4s",
     ):
         self.pixeljitter = pixeljitter
         self.ratio = ratio

@@ -293,10 +293,14 @@ class MPBatchLoader:
             p.join(timeout=5)
 
 
-def device_prefetch(iterator, size: int = 2):
+def device_prefetch(iterator, size: int = 2, sharding=None):
     """Wrap a host batch iterator with an n-deep device-transfer
     pipeline: jax.device_put the next batches while the current step
-    runs, so H2D rides under compute (double buffering)."""
+    runs, so H2D rides under compute (double buffering).
+
+    With ``sharding`` (a NamedSharding from the trainer's
+    ParallelPlan), every array leaf is placed directly into its SPMD
+    layout, so the sharded train step never reshards inputs."""
     import collections
 
     import jax
@@ -304,6 +308,9 @@ def device_prefetch(iterator, size: int = 2):
     buf = collections.deque()
 
     def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), batch)
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a) if isinstance(a, np.ndarray) else a,
             batch)

@@ -1,5 +1,10 @@
 from gssd_tpu.parallel.mesh import (  # noqa: F401
+    ParallelPlan,
+    jit_plan_eval_step,
+    jit_plan_infer_step,
+    jit_plan_train_step,
     make_mesh,
+    plan_parallelism,
     shard_batch,
     shard_train_step,
 )

@@ -20,7 +20,13 @@ from gssd_tpu.train.state import TrainState
 
 
 def stack_states(states: List[TrainState]) -> TrainState:
-    """Stack k independent fold states into one leading-axis pytree."""
+    """Stack k independent fold states into one leading-axis pytree.
+
+    Static (non-pytree) fields — the optax ``tx`` closures — are taken
+    from fold 0: per-fold ``create_train_state`` calls build distinct
+    but behaviorally identical transformation objects, and tree_map
+    over multiple trees requires identical treedefs."""
+    states = [s.replace(tx=states[0].tx) for s in states]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 

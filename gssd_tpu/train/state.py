@@ -56,8 +56,13 @@ class TrainState(struct.PyTreeNode):
 
 
 def step_lr_schedule(cfg: OptimConfig):
-    """Piecewise-constant lr: cfg.lr * gamma^(#stepvalues passed)."""
-    boundaries = {s: cfg.gamma for s in cfg.stepvalues}
+    """Piecewise-constant lr: cfg.lr * gamma^(#stepvalues passed).
+
+    Boundaries past int32 range are dropped: the step counter is int32,
+    so a never-reached sentinel like the reference pixellink trainer's
+    9999999999999 (its "no decay" encoding) would overflow the
+    schedule's `threshold - count` comparison."""
+    boundaries = {s: cfg.gamma for s in cfg.stepvalues if s < 2**31 - 1}
     return optax.piecewise_constant_schedule(cfg.lr, boundaries)
 
 

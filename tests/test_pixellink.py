@@ -148,3 +148,18 @@ def test_mask_to_boxes_roundtrip():
     assert scores[0] > 0.9
     want = boxes[0] * 300
     np.testing.assert_allclose(out[0], want, atol=8)
+
+
+def test_default_config_is_reference_4s():
+    """Default-constructed PixelLinkConfig must match the reference's
+    module defaults (pixel_link/pixel_link_config.py:2: version '4s'),
+    so callers that omit pl_cfg (eval/ap_iobb.py, pixellink_decode.py)
+    decode at the right scale factor."""
+    from gssd_tpu.config import PixelLinkConfig
+    from gssd_tpu.data.augment import SSDAugmentation
+
+    cfg = PixelLinkConfig()
+    assert cfg.version == "4s"
+    assert cfg.scale_factor == 4
+    aug = SSDAugmentation(pixel_link_size=32)
+    assert aug.pixel_link_version == "4s"

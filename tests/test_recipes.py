@@ -28,7 +28,8 @@ def test_pixellink_recipes():
     a = train_pixellink.parse_args(["--reference_recipe", "pixellink++"])
     assert a.vgg_groups == 4 and a.use_fuseconv
     assert a.use_self_attention and a.num_dcn_layers == 1
-    assert a.stepvalues == [9999999999999]  # reference: no LR decay
+    assert a.stepvalues == []  # reference: no LR decay (sentinel
+    # 9999999999999 overflows the int32 schedule counter; [] = no decay)
     assert a.use_07_metric is False
     b = train_pixellink.parse_args(["--reference_recipe", "pixellink"])
     assert b.vgg_groups == 1 and not b.use_fuseconv
@@ -37,6 +38,6 @@ def test_pixellink_recipes():
 
 def test_pixellink_default_matches_reference_trainer():
     a = train_pixellink.parse_args([])
-    assert a.stepvalues == [9999999999999]
+    assert a.stepvalues == []
     assert a.use_07_metric is False
     assert a.lr == 5e-4 and a.batch_size == 16

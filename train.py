@@ -46,10 +46,12 @@ def build_parser():
     p.add_argument("--expand_ratio", default=1.5, type=float)
     p.add_argument("--max_gt", default=16, type=int)
     p.add_argument("--aug_method", default="host",
-                   choices=["host", "vanilla", "device"],
+                   choices=["host", "vanilla", "device", "device_cached"],
                    help="'host'/'vanilla' = numpy pipeline; 'device' = "
                         "jitted on-TPU warp (revival of the reference's "
-                        "deprecated CUDA augmentation)")
+                        "deprecated CUDA augmentation); 'device_cached' = "
+                        "device-resident dataset + on-TPU warp (no "
+                        "per-step image H2D; caps at GSSD_DEVICE_CACHE_GB)")
     # model
     p.add_argument("--ssd_type", default="gssd",
                    choices=["gssd", "ssd", "fssd", "groupfssd", "fusedssd"])
@@ -208,6 +210,12 @@ def main(argv=None):
     from gssd_tpu.eval import run_detection_eval
     from gssd_tpu.models import build_model
     from gssd_tpu.parallel.folds import stack_states, unstack_state, vmap_train_step
+    from gssd_tpu.parallel.mesh import (
+        jit_plan_eval_step,
+        jit_plan_infer_step,
+        jit_plan_train_step,
+        plan_parallelism,
+    )
     from gssd_tpu.train import create_train_state, make_train_step
     from gssd_tpu.train.checkpoint import (
         load_weights_partial,
@@ -272,7 +280,12 @@ def main(argv=None):
         LesionDataset(args.datapath, ids) for ids in splitter.data_cv_eval
     ]
 
-    infer_step = jax.jit(make_infer_step(model, priors, detect_cfg))
+    # SPMD layout from the runtime device count (torch DataParallel
+    # analog, v2.py:593): fold axis and/or batch sharded over the mesh
+    plan = plan_parallelism(k, args.batch_size)
+    print(f"parallelism: {plan.describe()} layout={plan.layout}")
+    infer_step = jit_plan_infer_step(
+        make_infer_step(model, priors, detect_cfg), plan, args.eval_batch)
 
     def eval_fold(state, dataset, tag, iteration):
         def infer_fn(batch):
@@ -361,7 +374,7 @@ def main(argv=None):
         ]
         start_iter = args.resume
         print(f"resumed from iteration {args.resume}")
-    stacked = stack_states(states)
+    stacked = plan.put_state(stack_states(states))
 
     def make_train_loader(args, ds, seed, collate_fn=None):
         """--num_workers > 1 selects the multi-process loader (the
@@ -404,6 +417,20 @@ def main(argv=None):
                 LesionDataset(args.datapath, ids,
                               load_to_ram=args.load_data_to_ram),
                 seed=args.seed + i, collate_fn=collate_raw,
+            )
+            for i, ids in enumerate(splitter.data_cv_train)
+        ]
+    elif args.aug_method == "device_cached":
+        from gssd_tpu.data.device_cache import DeviceCacheLoader
+
+        loader_objs = [
+            DeviceCacheLoader(
+                LesionDataset(args.datapath, ids),
+                args.batch_size, size=args.ssd_dim, max_gt=args.max_gt,
+                seed=args.seed + i, pixeljitter=args.gt_pixel_jitter,
+                ratio=args.expand_ratio, mean=args.means,
+                use_normalize=args.use_normalize,
+                start_batch=args.resume or args.start_iter or 0,
             )
             for i, ids in enumerate(splitter.data_cv_train)
         ]
@@ -450,8 +477,9 @@ def main(argv=None):
     ]
 
     step_fn = make_train_step(model, priors, loss_cfg, optim_cfg)
-    train_step = jax.jit(vmap_train_step(step_fn), donate_argnums=(0,))
-    eval_step = jax.jit(jax.vmap(make_eval_step(model, priors, loss_cfg)))
+    train_step = jit_plan_train_step(vmap_train_step(step_fn), plan)
+    eval_step = jit_plan_eval_step(
+        jax.vmap(make_eval_step(model, priors, loss_cfg)), plan)
 
     # Optionally compile the eval/infer executables up front. Off by
     # default: on the tunneled axon worker, executing eval graphs built
@@ -489,7 +517,14 @@ def main(argv=None):
                       else np.stack([b[key] for b in bs]))
                 for key in bs[0]
             }
-        return {key: np.stack([b[key] for b in bs]) for key in bs[0]}
+        # device-resident leaves (DeviceCacheLoader images) stack on
+        # device; host leaves stack on host
+        out = {}
+        for key in bs[0]:
+            vals = [b[key] for b in bs]
+            out[key] = (np.stack(vals) if isinstance(vals[0], np.ndarray)
+                        else jnp.stack(vals))
+        return out
 
     grid_src = {}  # host-side copy for the TB input grid (fold 0)
 
@@ -524,7 +559,8 @@ def main(argv=None):
     # current step runs (torch DataLoader pin_memory+prefetch analog)
     from gssd_tpu.data.dataset import device_prefetch
 
-    batches = device_prefetch(batch_stream(), size=2)
+    batches = device_prefetch(batch_stream(), size=2,
+                              sharding=plan.batch_sharding())
 
     t_start = None  # set after the first (compile) step
     input_wait = 0.0  # host time blocked waiting for the next batch
@@ -568,17 +604,25 @@ def main(argv=None):
                   f"input_wait={wait_frac * 100:.0f}%")
 
         if iteration % 100 == 0 and logger.tb is not None:
-            # input-image grid with gt boxes, fold 0 (train v2.py:294-298)
+            # input-image grid with gt boxes, fold 0 (train v2.py:294-298).
+            # With device-resident batches on the tunneled backend the
+            # D2H pull costs ~1.5 s — skip the fallback there.
             from gssd_tpu.utils.visualize import input_grid_with_boxes
 
-            src = grid_src if "image" in grid_src else {
-                "image": np.asarray(batch["image"][0]),
-                "boxes": np.asarray(batch["boxes"][0]),
-                "valid": np.asarray(batch["valid"][0]),
-            }
-            panel = input_grid_with_boxes(
-                src["image"], src["boxes"], src["valid"])
-            logger.log_image("inputs/train_fold0", iteration, panel)
+            if "image" in grid_src:
+                src = grid_src
+            elif not on_axon:
+                src = {
+                    "image": np.asarray(batch["image"][0]),
+                    "boxes": np.asarray(batch["boxes"][0]),
+                    "valid": np.asarray(batch["valid"][0]),
+                }
+            else:
+                src = None
+            if src is not None:
+                panel = input_grid_with_boxes(
+                    src["image"], src["boxes"], src["valid"])
+                logger.log_image("inputs/train_fold0", iteration, panel)
 
         last = iteration == args.max_iter - 1
         if ((iteration % args.val_every == 0 and iteration > start_iter)

@@ -62,10 +62,10 @@ def build_parser():
     p.add_argument("--lr", default=5e-4, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
     p.add_argument("--weight_decay", default=5e-4, type=float)
-    # reference pixellink trainer default: no LR decay (:76 stepvalues
-    # default [9999999999999])
-    p.add_argument("--stepvalues", nargs="*", type=int,
-                   default=[9999999999999])
+    # reference pixellink trainer default: no LR decay (:76 uses a
+    # sentinel stepvalue of 9999999999999; here no-decay is an empty
+    # list — a giant sentinel overflows the int32 schedule counter)
+    p.add_argument("--stepvalues", nargs="*", type=int, default=[])
     p.add_argument("--gamma", default=0.1, type=float)
     p.add_argument("--clip", default=None, type=float)
     p.add_argument("--modify_dcn_lr", default=False, type=str2bool)
@@ -110,7 +110,7 @@ REFERENCE_RECIPES = {
         use_self_attention=False, use_self_attention_base=False,
         num_dcn_layers=0, groups_dcn=1, dcn_cat_sab=False,
         batch_size=16, lr=5e-4, max_iter=10001, val_every=500,
-        stepvalues=[9999999999999], use_normalize=True,
+        stepvalues=[], use_normalize=True,
         use_07_metric=False, confidence_threshold=0.01,
         model_name="pixellink",
     ),
@@ -120,7 +120,7 @@ REFERENCE_RECIPES = {
         num_dcn_layers=1, groups_dcn=4, dcn_cat_sab=True,
         modify_dcn_lr=True,
         batch_size=16, lr=5e-4, max_iter=10001, val_every=500,
-        stepvalues=[9999999999999], use_normalize=True,
+        stepvalues=[], use_normalize=True,
         use_07_metric=False, confidence_threshold=0.01,
         model_name="pixellink_plusplus",
     ),
@@ -151,6 +151,12 @@ def main(argv=None):
     from gssd_tpu.eval import run_detection_eval
     from gssd_tpu.models.pixellink import build_pixellink
     from gssd_tpu.parallel.folds import stack_states, unstack_state, vmap_train_step
+    from gssd_tpu.parallel.mesh import (
+        jit_plan_eval_step,
+        jit_plan_infer_step,
+        jit_plan_train_step,
+        plan_parallelism,
+    )
     from gssd_tpu.train import create_train_state
     from gssd_tpu.train.checkpoint import (
         load_weights_partial,
@@ -215,7 +221,12 @@ def main(argv=None):
     valid_sets = [LesionDataset(args.datapath, ids)
                   for ids in splitter.data_cv_eval]
 
-    forward = jax.jit(make_pixellink_forward(model))
+    # SPMD layout from the runtime device count (the reference's
+    # torch.nn.DataParallel one-liner, pixellink trainer :578)
+    plan = plan_parallelism(k, args.batch_size)
+    print(f"parallelism: {plan.describe()} layout={plan.layout}")
+    forward = jit_plan_infer_step(
+        make_pixellink_forward(model), plan, args.eval_batch)
 
     def eval_fold(state, dataset, tag, iteration):
         def fwd(batch):
@@ -307,7 +318,7 @@ def main(argv=None):
             for i, s in enumerate(states)
         ]
         start_iter = args.resume
-    stacked = stack_states(states)
+    stacked = plan.put_state(stack_states(states))
 
     # one augmentation pipeline (one numpy Generator) per fold: each
     # BatchLoader prefetch thread mutates its own RNG (thread-safety +
@@ -373,8 +384,9 @@ def main(argv=None):
     ]
 
     step_fn = make_pixellink_train_step(model, plc, optim_cfg)
-    train_step = jax.jit(vmap_train_step(step_fn), donate_argnums=(0,))
-    eval_step = jax.jit(jax.vmap(make_pixellink_eval_step(model, plc)))
+    train_step = jit_plan_train_step(vmap_train_step(step_fn), plan)
+    eval_step = jit_plan_eval_step(
+        jax.vmap(make_pixellink_eval_step(model, plc)), plan)
 
     def fold_batch(iters):
         bs = [next(it) for it in iters]
