@@ -112,8 +112,13 @@ class DeviceAugmentation:
         rng = self.rng
         boxes = boxes_norm * S  # to source pixels
 
+        # zero-copy shape stub: pixel_jitter reads only img.shape, and a
+        # real (1, S, S, 1) zeros alloc per item dominated the host
+        # geometry budget at S = 512 (measured: input_wait 46% at 400
+        # slices/s on the device-cached path)
         boxes = self._host.pixel_jitter(
-            np.zeros((1, S, S, 1), np.float32), boxes.astype(np.float32)
+            np.broadcast_to(np.float32(0.0), (1, S, S, 1)),
+            boxes.astype(np.float32)
         )
 
         brightness = rng.uniform(-32, 32) if rng.random() < 0.5 else 0.0

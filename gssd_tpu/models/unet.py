@@ -90,13 +90,21 @@ class UNet(nn.Module):
 
 
 def segmentation_nll_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                          valid: jnp.ndarray = None) -> jnp.ndarray:
+                          valid: jnp.ndarray = None,
+                          class_weight: jnp.ndarray = None) -> jnp.ndarray:
     """Mean per-pixel negative log likelihood (reference
-    loss_custom.NLLLoss over log-softmax maps)."""
+    loss_custom.NLLLoss over log-softmax maps).
+
+    class_weight: optional [C] per-class weights with torch-NLLLoss
+    semantics — weighted sum normalized by the summed weights of the
+    target pixels (the liver-seg trainer passes per-batch balanced
+    weights, train_liverseg_unet.py:90-117)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(
-        logp, labels[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    labels = labels.astype(jnp.int32)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = jnp.ones_like(nll)
+    if class_weight is not None:
+        w = jnp.asarray(class_weight)[labels]
     if valid is not None:
-        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
-    return jnp.mean(nll)
+        w = w * valid
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)

@@ -1,0 +1,116 @@
+"""Probe the hat-DCN kernel at the PixelLink-2s conv2_2 geometry
+(150x150, Cg=32, G=4) — the one in-tree site above GSSD_HAT_MAX_HW
+where 'hat' currently falls back to the slow gather impl (VMEM OOM
+recorded in round 3). Sweeps env-tunable tilings and prints
+compile/run/VMEM outcomes plus fwd+bwd timings vs the gather fallback.
+
+Usage (on the TPU):
+  python scripts/probe_hat150.py [--hw 150] [--cg 32] [--batch 8]
+Env knobs under test: GSSD_HAT_TP / GSSD_HAT_CHUNK / GSSD_HAT_CHUNKS /
+GSSD_HAT_ALLWIN_MAX_HW (set per sweep point via subprocess).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+CASE = r"""
+import os, time
+import numpy as np
+import jax, jax.numpy as jnp
+
+H = W = {hw}
+Cg, G, B = {cg}, 4, {batch}
+impl = "{impl}"
+
+from gssd_tpu.ops.deform_conv import deform_conv2d
+if impl == "hat":
+    from gssd_tpu.ops.pallas.deform_hat import deform_conv2d_hat as op
+else:
+    op = deform_conv2d
+
+rng = np.random.default_rng(0)
+Cin = G * Cg
+x = jnp.asarray(rng.normal(0, 1, (B, H, W, Cin)).astype(np.float32))
+w = jnp.asarray(rng.normal(0, 0.05, (3, 3, Cin, Cin)).astype(np.float32))
+bias = jnp.zeros((Cin,), jnp.float32)
+off = jnp.asarray((rng.normal(0, {sigma}, (B, H, W, G, 9, 2))
+                   ).astype(np.float32))
+mask = jnp.asarray(rng.uniform(0.3, 1, (B, H, W, G, 9)).astype(np.float32))
+
+def loss(x, w, off, mask):
+    out = op(x, w, bias, off, mask, groups=G)
+    return jnp.sum(out * out)
+
+f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+v, grads = f(x, w, off, mask)
+v0 = float(v)  # sync
+t0 = time.perf_counter()
+acc = 0.0
+for _ in range(8):
+    v, grads = f(x, w, off, mask)
+    acc += v * 0  # chain
+print("RESULT", float(v) + float(acc), (time.perf_counter() - t0) / 8 * 1e3)
+"""
+
+
+def run_case(hw, cg, batch, impl, sigma, env_extra, timeout=900):
+    env = dict(os.environ, **{k: str(v) for k, v in env_extra.items()})
+    code = CASE.format(hw=hw, cg=cg, batch=batch, impl=impl, sigma=sigma)
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "err": "timeout"}
+    wall = time.perf_counter() - t0
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            _, val, ms = line.split()
+            return {"ok": True, "ms": round(float(ms), 2),
+                    "val": float(val), "wall_s": round(wall, 1)}
+    err = (out.stderr or "")[-600:]
+    key = next((l for l in (out.stderr or "").splitlines()
+                if "vmem" in l.lower() or "VMEM" in l), err[-200:])
+    return {"ok": False, "err": key.strip()[:300]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, default=150)
+    ap.add_argument("--cg", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--sigma", type=float, default=0.5)
+    args = ap.parse_args()
+
+    sweeps = [
+        ("gather-fallback", "xla", {}),
+        ("hat-default", "hat", {"GSSD_HAT_MAX_HW": 99999}),
+        ("hat-allwin150", "hat", {"GSSD_HAT_MAX_HW": 99999,
+                                  "GSSD_HAT_ALLWIN_MAX_HW": 30000}),
+        ("hat-tp64", "hat", {"GSSD_HAT_MAX_HW": 99999, "GSSD_HAT_TP": 64}),
+        ("hat-chunk600", "hat", {"GSSD_HAT_MAX_HW": 99999,
+                                 "GSSD_HAT_CHUNK": 600}),
+        ("hat-tp64-chunk600", "hat", {"GSSD_HAT_MAX_HW": 99999,
+                                      "GSSD_HAT_TP": 64,
+                                      "GSSD_HAT_CHUNK": 600}),
+        ("hat-allwin-tp64", "hat", {"GSSD_HAT_MAX_HW": 99999,
+                                    "GSSD_HAT_ALLWIN_MAX_HW": 30000,
+                                    "GSSD_HAT_TP": 64}),
+    ]
+    results = {}
+    for name, impl, env in sweeps:
+        res = run_case(args.hw, args.cg, args.batch, impl, args.sigma, env)
+        results[name] = res
+        print(name, json.dumps(res))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

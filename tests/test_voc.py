@@ -113,3 +113,42 @@ def test_vanilla_voc_ssd300_forward():
     assert out["loc"].shape == (1, n, 4)
     assert out["conf"].shape == (1, n, 21)
     assert np.isfinite(np.asarray(out["conf"])).all()
+
+
+def test_voc_trainer_e2e(tmp_path, monkeypatch, capsys):
+    """train_voc.py end to end on a synthetic VOCdevkit fixture: a few
+    train steps + a finite multi-class mAP through eval/voc_map.py (the
+    reference's eval.py role). The full SSD300 is swapped for the mini
+    detector — the trainer/eval wiring is what's under test."""
+    import gssd_tpu.models as models_pkg
+    from mini_model import MINI_ANCHORS, MiniDetector
+    from gssd_tpu.ops.anchors import make_anchors
+
+    _write_voc_tree(str(tmp_path))
+    monkeypatch.setattr(
+        models_pkg, "build_model",
+        lambda cfg: (MiniDetector(num_classes=cfg.num_classes),
+                     make_anchors(MINI_ANCHORS)))
+    import train_voc
+
+    res = train_voc.main([
+        "--voc_root", str(tmp_path),
+        "--train_sets", "2007:trainval", "--eval_sets", "2007:trainval",
+        "--ssd_dim", "64", "--batch_size", "2", "--max_gt", "8",
+        "--max_iter", "13", "--val_every", "6", "--eval_batch", "2",
+        "--compute_dtype", "float32",
+        "--output", str(tmp_path / "out"),
+    ])
+    assert np.isfinite(res["map"])
+    assert "ap_dog" in res and "ap_cat" in res  # classes with gt
+    out = capsys.readouterr().out
+    assert "VOC mAP" in out
+    # eval-only mode over the saved checkpoint
+    res2 = train_voc.main([
+        "--voc_root", str(tmp_path),
+        "--eval_sets", "2007:trainval", "--ssd_dim", "64",
+        "--eval_batch", "2", "--compute_dtype", "float32",
+        "--output", str(tmp_path / "out"),
+        "--test", "True", "--checkpoint", "12",
+    ])
+    assert np.isfinite(res2["map"])
