@@ -256,6 +256,154 @@ def measure_jax(batch: int, iters: int, size: int = 300):
     return sps, mfu, flops
 
 
+def _chain(x, det):
+    """Data-dependency chain for timing loops: block_until_ready does
+    not sync over the tunnel, so successive calls must consume a scalar
+    of the previous output (CLAUDE.md / bench pattern)."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(det)[0]
+    return x + 0.0 * leaf.reshape(-1)[0].astype(x.dtype)
+
+
+def measure_infer(batch: int, iters: int, size: int = 300):
+    """Test-phase forward + on-device Detect (softmax, decode, NMS,
+    [B,C,200,5] packing — reference test.py:57-60 per-image inference
+    timing, BASELINE metric 'train+infer slices/sec'). Returns
+    slices/sec."""
+    import dataclasses
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from gssd_tpu.config import DetectConfig, OptimConfig
+    from gssd_tpu.models import build_model
+    from gssd_tpu.train import create_train_state
+    from gssd_tpu.train.steps import make_infer_step
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = dataclasses.replace(_flagship_cfg(), size=size)
+    model, priors = build_model(cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 12), jnp.float32), OptimConfig(),
+    )
+    infer = jax.jit(make_infer_step(model, priors, DetectConfig()))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.uniform(0, 1, (batch, size, size, 12)).astype(np.float32))
+    det = infer(state, x)
+    float(np.asarray(det).reshape(-1)[0])
+    for _ in range(5):  # tunnel warm-up burn-in
+        det = infer(state, _chain(x, det))
+    float(np.asarray(det).reshape(-1)[0])
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        det = infer(state, _chain(x, det))
+    float(np.asarray(det).reshape(-1)[0])
+    dt = _t.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_nms(iters: int = 50, batch: int = 1):
+    """Detect/NMS microbenchmark (SURVEY §7.1.10): decode + per-class
+    static-shape NMS + top_k=200 packing alone, on the production 8732-
+    prior table, batch 1 — ms per image."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from gssd_tpu.config import V2 as _V2, DetectConfig
+    from gssd_tpu.ops.anchors import make_anchors
+    from gssd_tpu.ops.nms import detect
+
+    priors = jnp.asarray(make_anchors(_V2))
+    n = priors.shape[0]
+    dcfg = DetectConfig()
+    rng = np.random.default_rng(0)
+    loc = jnp.asarray(rng.normal(0, 0.5, (batch, n, 4)).astype(np.float32))
+    # realistic score profile: mostly background, a few dozen confident
+    # foreground rows (post-softmax shape)
+    fg = rng.uniform(0, 0.02, (batch, n)).astype(np.float32)
+    hot = rng.choice(n, 64, replace=False)
+    fg[:, hot] = rng.uniform(0.2, 0.99, (batch, 64)).astype(np.float32)
+    conf = np.stack([1.0 - fg, fg], axis=-1)
+    conf = jnp.asarray(conf)
+
+    det_fn = jax.jit(lambda l, c: detect(l, c, priors, dcfg))
+    out = det_fn(loc, conf)
+    float(np.asarray(out).reshape(-1)[0])
+    for _ in range(5):
+        out = det_fn(_chain(loc, out), conf)
+    float(np.asarray(out).reshape(-1)[0])
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        out = det_fn(_chain(loc, out), conf)
+    float(np.asarray(out).reshape(-1)[0])
+    dt = _t.perf_counter() - t0
+    return dt / iters / batch * 1e3  # ms per image
+
+
+def measure_pixellink(batch: int, iters: int, size: int = 300,
+                      version: str = "4s"):
+    """PixelLink++ training throughput (BASELINE config 4): grouped VGG
+    + fusion + dual self-attention + 4-group DCN PixelLink
+    (train_pixellink.py --reference_recipe pixellink++ flags), full
+    train step with instance-balanced pixel/link loss. slices/sec."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from gssd_tpu.config import OptimConfig, PixelLinkConfig
+    from gssd_tpu.data.pixellink_targets import make_pixel_link_targets
+    from gssd_tpu.models.pixellink import build_pixellink
+    from gssd_tpu.train import create_train_state
+    from gssd_tpu.train.steps import make_pixellink_train_step
+
+    plc = PixelLinkConfig(
+        version=version, vgg_groups=4, use_fuseconv=True,
+        use_self_attention=True, use_self_attention_base=True,
+        num_dcn_layers=1, groups_dcn=4, dcn_cat_sab=True,
+    )
+    model = build_pixellink(plc)
+    ocfg = OptimConfig(lr=5e-4, stepvalues=())
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 12), jnp.float32), ocfg,
+    )
+    step = jax.jit(make_pixellink_train_step(model, plc, ocfg),
+                   donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    base = make_bench_batch(rng, batch, size)
+    tgts = [
+        make_pixel_link_targets(
+            base["boxes"][i][base["valid"][i]], size, version)
+        for i in range(batch)
+    ]
+    batch_data = {
+        "image": jnp.asarray(base["image"]),
+        **{
+            k: jnp.asarray(np.stack([t[k] for t in tgts]))
+            for k in ("pixel_mask", "neg_pixel_mask", "pixel_pos_weight",
+                      "link_mask")
+        },
+    }
+    state, metrics = step(state, batch_data)
+    float(metrics["loss"])
+    for _ in range(5):
+        state, metrics = step(state, batch_data)
+    float(metrics["loss"])
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data)
+    float(metrics["loss"])  # donated state chains the steps
+    dt = _t.perf_counter() - t0
+    return batch * iters / dt
+
+
 MODEL_FLOPS_CACHE = os.path.join(REPO, "MODEL_FLOPS_CACHE.json")
 
 # env that disables every flop-inflating lowering trick; combined with
@@ -370,6 +518,13 @@ def main():
                     help=argparse.SUPPRESS)
     ap.add_argument("--model-flops-only", action="store_true",
                     help=argparse.SUPPRESS)
+    ap.add_argument("--infer-only", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--pixellink-only", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--skip-extras", action="store_true",
+                    help="omit the infer/NMS/PixelLink sub-benchmarks "
+                         "from the default run")
     ap.add_argument("--refresh-model-flops", action="store_true",
                     help="recompute the reference-equivalent FLOPs "
                          "instead of using MODEL_FLOPS_CACHE.json")
@@ -379,6 +534,22 @@ def main():
     if args.model_flops_only:
         print(json.dumps(
             {"model_flops": compute_model_flops(batch, args.size)}))
+        return
+    if args.infer_only:
+        # 512 default is 4, not 8: the full-size infer executable at
+        # larger batches crashes a degraded tunnel worker (measured
+        # r2-r5; the trainers' --eval_batch 4 mitigation, CLAUDE.md)
+        ib = args.batch or (32 if args.size == 300 else 4)
+        sub = {"infer_slices_per_sec": round(
+            measure_infer(ib, args.iters, args.size), 2), "batch": ib}
+        if args.size == 300:
+            sub["nms_latency_ms_b1"] = round(measure_nms(50), 3)
+        print(json.dumps(sub))
+        return
+    if args.pixellink_only:
+        pb = args.batch or 16
+        print(json.dumps({"train_slices_per_sec": round(
+            measure_pixellink(pb, args.iters), 2), "batch": pb}))
         return
 
     tpu_sps, mfu, flops = measure_jax(batch, args.iters, args.size)
@@ -445,6 +616,32 @@ def main():
             }
         except Exception as e:  # never lose the primary line
             line["cfg512_b8"] = {"error": str(e)[:200]}
+    if args.size == 300 and not args.skip_extras:
+        # BASELINE.json's metric surface beyond train slices/s: infer-
+        # path throughput (test-phase forward + on-device Detect) at
+        # both resolutions, the NMS-latency microbench, and PixelLink++
+        # train throughput (config 4). Each runs in its own subprocess
+        # so a degraded-worker abort can't lose the primary result.
+        import subprocess
+        import sys as _sys
+
+        def _sub(name, extra, timeout):
+            try:
+                out = subprocess.run(
+                    [_sys.executable, os.path.abspath(__file__), *extra],
+                    capture_output=True, text=True, timeout=timeout)
+                line[name] = json.loads(
+                    out.stdout.strip().splitlines()[-1])
+            except Exception as e:
+                line[name] = {"error": str(e)[:200]}
+
+        it = str(max(args.iters, 10))
+        _sub("infer300", ["--infer-only", "--size", "300",
+                          "--iters", it], 1800)
+        _sub("infer512", ["--infer-only", "--size", "512",
+                          "--iters", it], 1800)
+        _sub("pixellink_4s_b16", ["--pixellink-only", "--iters", it],
+             2400)
     print(json.dumps(line))
 
 

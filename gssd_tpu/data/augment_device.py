@@ -77,7 +77,6 @@ class DeviceAugmentation:
             pixeljitter=pixeljitter, ratio=ratio, size=size, mean=mean,
             use_normalize=use_normalize, seed=seed,
         )
-        self.rng = self._host.rng
 
         @jax.jit
         def _warp(batch, mat_y, mat_x, brightness, contrast):
@@ -101,6 +100,21 @@ class DeviceAugmentation:
             return x
 
         self._warp = _warp
+
+    @property
+    def rng(self) -> np.random.Generator:
+        """THE generator. sample_geometry draws geometry from self.rng
+        but delegates jitter noise to the host sampler's pixel_jitter,
+        which draws from self._host.rng — a single shared object keeps
+        per-batch reseeding (DeviceCacheLoader._batch) atomic over both
+        consumers. Two generators here silently broke the 'stream is a
+        pure function of (seed, batch_index)' resume contract at
+        src_size >= 128, where the jitter noise is nonzero (ADVICE r4)."""
+        return self._host.rng
+
+    @rng.setter
+    def rng(self, value: np.random.Generator) -> None:
+        self._host.rng = value
 
     # ---- host side -----------------------------------------------------
 

@@ -42,17 +42,23 @@ def parse_voc_annotation(
     height: float,
     keep_difficult: bool = False,
     class_to_ind: Optional[dict] = None,
-) -> np.ndarray:
+    return_difficult: bool = False,
+):
     """VOC XML root -> [n, 5] float array of
     (xmin, ymin, xmax, ymax, label) with coords normalized by the
     image size. Matches AnnotationTransform (voc0712.py:53-81): 1-based
     pixel coords shift to 0-based before normalizing; difficult
-    objects drop unless keep_difficult."""
+    objects drop unless keep_difficult. With return_difficult, ALL
+    objects are kept and an [n] bool difficult-flag array is returned
+    alongside (the eval protocol treats difficult as ignore — reference
+    eval.py:272-336 — so the eval path needs the flags, not a drop)."""
     lookup = class_to_ind or _CLASS_TO_IND
     rows: List[List[float]] = []
+    flags: List[bool] = []
     for obj in root.iter("object"):
         diff = obj.find("difficult")
-        if not keep_difficult and diff is not None and int(diff.text) == 1:
+        is_diff = diff is not None and int(diff.text) == 1
+        if not return_difficult and not keep_difficult and is_diff:
             continue
         name = obj.find("name").text.lower().strip()
         bb = obj.find("bndbox")
@@ -61,9 +67,12 @@ def parse_voc_annotation(
             for i, pt in enumerate(("xmin", "ymin", "xmax", "ymax"))
         ]
         rows.append(coords + [float(lookup[name])])
-    if not rows:
-        return np.zeros((0, 5), np.float32)
-    return np.asarray(rows, np.float32)
+        flags.append(is_diff)
+    anno = (np.asarray(rows, np.float32) if rows
+            else np.zeros((0, 5), np.float32))
+    if return_difficult:
+        return anno, np.asarray(flags, bool)
+    return anno
 
 
 class VOCDataset:
@@ -123,6 +132,17 @@ class VOCDataset:
         h = float(size.find("height").text)
         return parse_voc_annotation(
             root, w, h, keep_difficult=self.keep_difficult)
+
+    def pull_anno_with_difficult(self, index: int):
+        """([n, 5] normalized boxes + class, [n] difficult flags) with
+        difficult objects KEPT — the eval.py:272-336 ignore protocol
+        needs them present but flagged."""
+        _, xml_path = self._paths(index)
+        root = ET.parse(xml_path).getroot()
+        size = root.find("size")
+        w = float(size.find("width").text)
+        h = float(size.find("height").text)
+        return parse_voc_annotation(root, w, h, return_difficult=True)
 
     def raw_item(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         img = self.pull_image(index)

@@ -66,6 +66,7 @@ def evaluate_detections(
     threshold: float,
     metric: str = "iou",
     use_07_metric: bool = False,
+    gt_difficult: "Optional[Dict[int, np.ndarray]]" = None,
 ) -> float:
     """AP of a detection set at one (metric, threshold).
 
@@ -74,8 +75,20 @@ def evaluate_detections(
         any order (sorted internally by score desc).
       gt_boxes: image_idx -> [n, 4] pixel gt boxes.
       metric: 'iou' or 'iobb'.
+      gt_difficult: optional image_idx -> [n] bool flags aligned with
+        gt_boxes. Difficult objects are IGNORE targets (VOC protocol,
+        reference eval.py:272-336): excluded from npos, and a detection
+        whose best match is difficult counts as neither TP nor FP.
     """
-    npos = sum(len(v) for v in gt_boxes.values())
+    any_difficult = gt_difficult is not None and any(
+        np.any(v) for v in gt_difficult.values())
+    if any_difficult:
+        npos = sum(
+            int(np.sum(~np.asarray(gt_difficult.get(k, np.zeros(len(v),
+                                                                bool)))))
+            for k, v in gt_boxes.items())
+    else:
+        npos = sum(len(v) for v in gt_boxes.values())
     if npos == 0:
         return 0.0
     if len(predictions) == 0:
@@ -87,6 +100,10 @@ def evaluate_detections(
     from gssd_tpu.native import load_native
 
     lib = load_native()
+    # the C++ sweep has no difficult-flag column; the ignore protocol
+    # only arises on VOC-style sets, which are small — numpy handles it
+    if any_difficult:
+        lib = None
     if lib is not None and hasattr(lib, "eval_sweep"):
         import ctypes
 
@@ -128,9 +145,16 @@ def evaluate_detections(
                 continue
             ov = _overlap(row[2:6], gts, metric)
             j = int(np.argmax(ov))
-            if ov[j] > threshold and not claimed[img][j]:
-                tp[i] = 1.0
-                claimed[img][j] = True
+            if ov[j] > threshold:
+                if any_difficult and gt_difficult.get(img) is not None \
+                        and len(gt_difficult[img]) > j \
+                        and gt_difficult[img][j]:
+                    continue  # ignore: neither TP nor FP (eval.py:316-326)
+                if not claimed[img][j]:
+                    tp[i] = 1.0
+                    claimed[img][j] = True
+                else:
+                    fp[i] = 1.0
             else:
                 fp[i] = 1.0
     tp_c = np.cumsum(tp)

@@ -36,17 +36,29 @@ def run_voc_map(
     n = len(dataset)
     preds = {c: [] for c in range(1, num_classes)}
     gts = {c: {} for c in range(1, num_classes)}
+    # difficult objects are IGNORE targets (reference eval.py:272-336):
+    # kept in the gt set with a flag, excluded from npos, matches
+    # neither TP nor FP — pulled via pull_anno_with_difficult when the
+    # dataset provides it (VOCDataset does)
+    diffs = {c: {} for c in range(1, num_classes)}
+    with_diff = hasattr(dataset, "pull_anno_with_difficult")
     for start in range(0, n, batch_size):
         images, sizes = [], []
         for idx in range(start, min(start + batch_size, n)):
             raw = dataset.pull_image(idx)
             if raw.ndim == 3:
                 raw = raw[None]  # [1, H, W, 3] phase axis
-            anno = dataset.pull_anno(idx)  # [m, 5] normalized + class
+            if with_diff:
+                anno, dflags = dataset.pull_anno_with_difficult(idx)
+            else:
+                anno = dataset.pull_anno(idx)  # [m, 5] normalized + class
+                dflags = np.zeros(len(anno), bool)
             H, W = raw.shape[1], raw.shape[2]
             for c in range(1, num_classes):
-                rows = anno[anno[:, 4] == c - 1, :4]
+                sel = anno[:, 4] == c - 1
+                rows = anno[sel, :4]
                 gts[c][idx] = (rows * [W, H, W, H]).astype(np.float64)
+                diffs[c][idx] = dflags[sel]
             x, _, _ = transform(raw)
             p, h, w, ch = x.shape
             images.append(np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * ch))
@@ -73,12 +85,14 @@ def run_voc_map(
     from gssd_tpu.data.voc import VOC_CLASSES
 
     for c in range(1, num_classes):
-        npos = sum(len(v) for v in gts[c].values())
+        npos = sum(
+            int(np.sum(~diffs[c].get(k, np.zeros(len(v), bool))))
+            for k, v in gts[c].items())
         if npos == 0:
-            continue  # class absent from this split
+            continue  # class absent from this split (difficult-only too)
         p = np.concatenate(preds[c]) if preds[c] else np.zeros((0, 6))
         ap = evaluate_detections(p, gts[c], iou_threshold, "iou",
-                                 use_07_metric)
+                                 use_07_metric, gt_difficult=diffs[c])
         name = (VOC_CLASSES[c - 1] if c - 1 < len(VOC_CLASSES)
                 else f"class{c}")
         result[f"ap_{name}"] = ap

@@ -109,11 +109,17 @@ def plan_parallelism(
 ) -> ParallelPlan:
     """Choose the trainer's sharding layout. Honors the GSSD_DP_DEVICES
     env var as a cap on usable devices (operational override + the
-    hook trainer-level tests use to force single-device runs)."""
-    devs = list(devices) if devices is not None else list(jax.devices())
-    cap = os.environ.get("GSSD_DP_DEVICES")
-    if cap:
-        devs = devs[: max(1, int(cap))]
+    hook trainer-level tests use to force single-device runs). An
+    explicit ``devices`` list is already an intentional override, so the
+    env cap only applies to the discovered-device path (a leaked env var
+    must not silently reshape a caller-specified mesh — ADVICE r4)."""
+    if devices is not None:
+        devs = list(devices)
+    else:
+        devs = list(jax.devices())
+        cap = os.environ.get("GSSD_DP_DEVICES")
+        if cap:
+            devs = devs[: max(1, int(cap))]
     n = len(devs)
     if n > 1 and n_folds > 1 and n % n_folds == 0 \
             and batch_size % (n // n_folds) == 0:

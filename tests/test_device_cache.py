@@ -61,6 +61,27 @@ def test_deterministic_and_exact_resume(ds):
     np.testing.assert_array_equal(resumed["valid"], first[2]["valid"])
 
 
+def test_exact_resume_with_nonzero_jitter(tmp_path):
+    """ADVICE r4: at src_size >= 128 the +/-1% pixel jitter is nonzero,
+    so a second rng hiding inside the host sampler breaks resume (boxes
+    differ even when the geometry stream matches). Pin the full
+    contract — boxes AND images — at a jitter-visible size."""
+    path = tmp_path / "ml_big"
+    make_synthetic_dataset(str(path), num_subjects=2, slices_per_subject=2,
+                           image_size=128)
+    ids = [line.split("|")[0] for line in
+           open(path / "metadata.txt").read().splitlines() if line]
+    big = LesionDataset(str(path), ids)
+    a = iter(make_loader(big, batch_size=2, size=64))
+    first = [next(a) for _ in range(3)]
+    resumed = next(iter(make_loader(big, batch_size=2, size=64,
+                                    start_batch=2)))
+    np.testing.assert_array_equal(resumed["boxes"], first[2]["boxes"])
+    np.testing.assert_array_equal(np.asarray(resumed["image"]),
+                                  np.asarray(first[2]["image"]))
+    np.testing.assert_array_equal(resumed["valid"], first[2]["valid"])
+
+
 def test_device_matrices_match_host_built(ds, rng):
     """The jitted on-device hat-matrix construction must reproduce
     DeviceAugmentation.interp_matrices + _warp bit-for-bit (same

@@ -126,3 +126,26 @@ def test_native_sweep_matches_numpy(rng, monkeypatch):
         for t in (0.3, 0.5, 0.7) for m in ("iou", "iobb")
     ]
     np.testing.assert_allclose(results_native, results_numpy, atol=1e-12)
+
+
+def test_difficult_gt_is_ignore_not_fp():
+    """VOC difficult protocol (reference eval.py:272-336): difficult gt
+    are excluded from npos and detections matching them are neither TP
+    nor FP. Scenario chosen so drop-vs-ignore semantics disagree: two
+    high-scored detections on the difficult box would be TP+FP (AP
+    0.833) if difficult were an ordinary gt, and 2 FPs (AP < 0.4) if
+    difficult boxes were dropped from the gt set entirely."""
+    gt = {0: np.array([[0.0, 0.0, 10.0, 10.0],
+                       [20.0, 20.0, 30.0, 30.0]])}
+    diff = {0: np.array([False, True])}
+    preds = np.array([
+        [0, 0.95, 20.0, 20.0, 30.0, 30.0],   # on difficult -> ignored
+        [0, 0.90, 20.5, 20.0, 30.0, 30.0],   # on difficult -> ignored
+        [0, 0.80, 0.0, 0.0, 10.0, 10.0],     # on normal    -> TP
+    ])
+    ap = evaluate_detections(preds, gt, 0.5, "iou", False,
+                             gt_difficult=diff)
+    assert ap == 1.0
+    # sanity: without flags the duplicate on gt1 is an FP mid-ranking
+    ap_plain = evaluate_detections(preds, gt, 0.5, "iou", False)
+    assert abs(ap_plain - (0.5 + 0.5 * 2 / 3)) < 1e-9
