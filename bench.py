@@ -624,12 +624,24 @@ def main():
         # so a degraded-worker abort can't lose the primary result.
         import subprocess
         import sys as _sys
+        import time as _t
+
+        # Global extras deadline: the driver's bench budget is finite,
+        # and three cold model compiles + a flaky tunnel must never eat
+        # it — skip whatever doesn't fit and say so in the line.
+        deadline = _t.monotonic() + float(
+            os.environ.get("GSSD_BENCH_EXTRAS_BUDGET_S", "1500"))
 
         def _sub(name, extra, timeout):
+            left = deadline - _t.monotonic()
+            if left < 120:
+                line[name] = {"skipped": "extras budget exhausted"}
+                return
             try:
                 out = subprocess.run(
                     [_sys.executable, os.path.abspath(__file__), *extra],
-                    capture_output=True, text=True, timeout=timeout)
+                    capture_output=True, text=True,
+                    timeout=min(timeout, left))
                 line[name] = json.loads(
                     out.stdout.strip().splitlines()[-1])
             except Exception as e:
@@ -637,11 +649,11 @@ def main():
 
         it = str(max(args.iters, 10))
         _sub("infer300", ["--infer-only", "--size", "300",
-                          "--iters", it], 1800)
+                          "--iters", it], 700)
         _sub("infer512", ["--infer-only", "--size", "512",
-                          "--iters", it], 1800)
+                          "--iters", it], 800)
         _sub("pixellink_4s_b16", ["--pixellink-only", "--iters", it],
-             2400)
+             900)
     print(json.dumps(line))
 
 

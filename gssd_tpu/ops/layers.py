@@ -203,18 +203,38 @@ class _BlockDiagConv(nn.Module):
                        (kh, kw, cgi, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        parts = [
-            jnp.pad(w[:, :, :, g * cgo:(g + 1) * cgo],
-                    ((0, 0), (0, 0),
-                     (g * cgi, (self.groups - 1 - g) * cgi), (0, 0)))
-            for g in range(self.groups)
-        ]
+        # Pair mode: block-diagonal only WITHIN pairs of groups, lowered
+        # as feature_group_count=2 — executes 2x the true MACs instead
+        # of the full dense form's Gx, and at Cg=64 each conv group is
+        # 128 channels (full lane width), dodging the half-empty-lane
+        # layouts that sink XLA's G=4 grouped lowering (see
+        # DENSE_GROUPS_MAX_CIN_PER_GROUP notes). Numerics identical:
+        # the off-diagonal pair entries are exact zeros.
+        pair = (DENSE_PAIR and self.groups % 2 == 0 and self.groups > 2
+                and cgi >= DENSE_PAIR_MIN_CGI)
+        if pair:
+            parts = [
+                jnp.pad(w[:, :, :, g * cgo:(g + 1) * cgo],
+                        ((0, 0), (0, 0),
+                         ((g % 2) * cgi, (1 - g % 2) * cgi), (0, 0)))
+                for g in range(self.groups)
+            ]
+            fgc = self.groups // 2
+        else:
+            parts = [
+                jnp.pad(w[:, :, :, g * cgo:(g + 1) * cgo],
+                        ((0, 0), (0, 0),
+                         (g * cgi, (self.groups - 1 - g) * cgi), (0, 0)))
+                for g in range(self.groups)
+            ]
+            fgc = 1
         wd = jnp.concatenate(parts, axis=3).astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, wd.shape, ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wd, self.strides, self.padding,
-            rhs_dilation=self.kernel_dilation, dimension_numbers=dn)
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+            feature_group_count=fgc)
         return y + b.astype(self.dtype)
 
 
@@ -273,6 +293,11 @@ DENSE_GROUPS_MIN_HW = 5000
 # fills the lanes, so no layout externality) — grouped stays.
 DENSE_GROUPS_MAX_CIN_PER_GROUP = int(
     os.environ.get("GSSD_DENSE_MAX_CGI", "65"))
+# pair mode (see _BlockDiagConv): block-diag within group PAIRS lowered
+# as feature_group_count=2 — 2x true MACs instead of Gx. Gated to sites
+# whose paired groups fill the 128-lane tile (cgi >= 64 by default).
+DENSE_PAIR = os.environ.get("GSSD_DENSE_PAIR", "0") == "1"
+DENSE_PAIR_MIN_CGI = int(os.environ.get("GSSD_DENSE_PAIR_MIN_CGI", "64"))
 
 
 # --- W-pair channel packing for the 64-channel stem ------------------

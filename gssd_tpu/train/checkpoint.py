@@ -80,6 +80,13 @@ def load_weights_partial(
         # restore as host numpy so checkpoints written on one backend
         # (TPU) load on another (CPU) without sharding metadata
         meta = ckptr.metadata(path).item_metadata
+        if meta is None:
+            import glob
+            sibs = sorted(glob.glob(os.path.join(
+                save_folder, model_name, f"{model_name}_*_CV{fold}")))
+            raise FileNotFoundError(
+                f"no checkpoint at {path}; available: "
+                f"{[os.path.basename(s) for s in sibs] or 'none'}")
         restore_args = jax.tree_util.tree_map(
             lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
         )

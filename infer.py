@@ -7,6 +7,11 @@ per slice: {"id", "boxes" [[x1,y1,x2,y2] px], "scores"}. The analog of
 the reference's test/--visualize inference paths (test_ap_iobb.py
 make_pred) stripped down to a deployable tool.
 
+Also reports per-image detection latency (forward + on-device Detect +
+transfer), the analog of the reference's per-image timing printout
+(test.py:57-60 "im_detect: i/N timer.toc()"); the first batch includes
+jit compilation and is excluded from the summary statistics.
+
 Example:
   python infer.py --datapath <ml_ready> --checkpoint 60000 \
       --output dets.json --ssd_type gssd --use_self_attention True ...
@@ -17,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 
@@ -72,11 +78,20 @@ def main(argv=None):
         p, h, w, c = x.shape
         images.append(np.transpose(x, (1, 2, 0, 3)).reshape(h, w, p * c))
         sizes.append((raw.shape[2], raw.shape[1]))
+    lat_ms = []  # per-image latency, one entry per batch after warm-up
     for start in range(0, len(ds), bs):
         chunk = images[start:start + bs]
         pad = bs - len(chunk)
         batch = np.stack(chunk + [chunk[-1]] * pad).astype(np.float32)
+        t0 = time.perf_counter()
+        # np.asarray forces the device->host transfer, the only reliable
+        # sync over the tunneled runtime (block_until_ready is async).
         det = np.asarray(infer(state, jnp.asarray(batch)))
+        dt_ms = (time.perf_counter() - t0) * 1e3 / len(chunk)
+        if start:  # batch 0 pays jit compile; keep stats honest
+            lat_ms.append(dt_ms)
+        print(f"im_detect: {min(start + bs, len(ds))}/{len(ds)} "
+              f"{dt_ms:.1f} ms/image")
         for bi in range(len(chunk)):
             rows = det[bi, 1]
             keep = rows[:, 0] > args.confidence_threshold
@@ -94,6 +109,10 @@ def main(argv=None):
     with open(args.det_output, "w") as f:
         json.dump(results, f, indent=1)
     n_det = sum(len(r["scores"]) for r in results)
+    if lat_ms:
+        print(f"latency: mean {np.mean(lat_ms):.1f} ms/image, "
+              f"median {np.median(lat_ms):.1f} ms/image "
+              f"(excl. first/compile batch, batch={bs})")
     print(f"wrote {len(results)} slices, {n_det} detections "
           f"-> {args.det_output}")
 

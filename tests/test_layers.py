@@ -209,6 +209,50 @@ def test_conv_grouped_matches_torch(rng):
     np.testing.assert_allclose(out, want, atol=1e-4)
 
 
+def test_block_diag_pair_mode_matches_grouped(rng, monkeypatch):
+    """_BlockDiagConv pair mode (block-diag within group PAIRS, lowered
+    as feature_group_count=G/2) must be numerically identical to the
+    true grouped conv in forward AND weight gradients — the off-pair
+    kernel entries are exact zeros and the pad VJP slices them away."""
+    import gssd_tpu.ops.layers as L
+
+    groups, cgi, cgo = 4, 8, 6
+    x = rng.normal(size=(2, 7, 7, groups * cgi)).astype(np.float32)
+
+    def run(pair):
+        monkeypatch.setattr(L, "DENSE_PAIR", pair)
+        monkeypatch.setattr(L, "DENSE_PAIR_MIN_CGI", 1)
+        mod = L._BlockDiagConv(
+            features=groups * cgo, kernel=(3, 3), strides=(1, 1),
+            padding=((1, 1), (1, 1)), kernel_dilation=(1, 1),
+            groups=groups, dtype=jnp.float32)
+        vs = mod.init(jax.random.PRNGKey(3), jnp.asarray(x))
+
+        def loss(p):
+            y = mod.apply(p, jnp.asarray(x))
+            return (y * jnp.cos(y)).sum(), y
+
+        (val, y), g = jax.value_and_grad(loss, has_aux=True)(vs)
+        return np.asarray(y), jax.tree_util.tree_map(np.asarray, g), vs
+
+    y_blk, g_blk, vs = run(False)
+    y_pair, g_pair, _ = run(True)
+    np.testing.assert_allclose(y_pair, y_blk, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pair),
+                    jax.tree_util.tree_leaves(g_blk)):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # and both match the real grouped conv on the same params
+    k = jnp.asarray(vs["params"]["kernel"])
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn, feature_group_count=groups)
+    want = np.asarray(want + jnp.asarray(vs["params"]["bias"]))
+    np.testing.assert_allclose(y_blk, want, atol=2e-5)
+
+
 def test_sndense_matches_torch_spectral_norm(rng):
     """One training forward must produce the same normalized weight and
     updated u as torch.nn.utils.spectral_norm on an equivalent layer."""

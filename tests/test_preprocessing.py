@@ -108,3 +108,33 @@ def test_registration_gated():
 
     with pytest.raises(ImportError):
         registration.register_slice_to_portal(np.zeros((4, 8, 8)))
+
+
+def test_volume_io_orientation_and_dump(tmp_path):
+    """canonicalize = rot90-left + flipud (reference nii_opener.py:10-17):
+    a marker at storage [0, -1] (top-right) must land at [-1, 0]
+    (top-right -> rot90-left -> top-left -> flipud -> bottom-left)."""
+    from gssd_tpu.preprocessing import (canonicalize_nii_orientation,
+                                        dump_volume_slices)
+
+    vol = np.zeros((6, 4, 3), np.float32)
+    vol[0, -1, :] = 7.0
+    out = canonicalize_nii_orientation(vol)
+    assert out.shape == (4, 6, 3)
+    assert out[-1, 0, 0] == 7.0 and out[:, :, 1].sum() == 7.0
+
+    paths = dump_volume_slices(out, str(tmp_path / "sanity"))
+    assert len(paths) == 3 and all(p.endswith(".jpg") for p in paths)
+    from PIL import Image
+
+    with Image.open(paths[0]) as im:
+        assert im.size == (6, 4)  # PIL size is (W, H)
+
+
+def test_volume_io_gated():
+    from gssd_tpu.preprocessing import load_nii_volume, load_vtk_mesh_points
+
+    with pytest.raises(ImportError, match="nibabel"):
+        load_nii_volume("/nonexistent.nii")
+    with pytest.raises(ImportError, match="vtk"):
+        load_vtk_mesh_points("/nonexistent.vtk")
