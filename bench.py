@@ -522,6 +522,8 @@ def main():
                     help=argparse.SUPPRESS)
     ap.add_argument("--pixellink-only", action="store_true",
                     help=argparse.SUPPRESS)
+    ap.add_argument("--pl-version", default="4s", choices=["2s", "4s"],
+                    help=argparse.SUPPRESS)
     ap.add_argument("--skip-extras", action="store_true",
                     help="omit the infer/NMS/PixelLink sub-benchmarks "
                          "from the default run")
@@ -549,7 +551,8 @@ def main():
     if args.pixellink_only:
         pb = args.batch or 16
         print(json.dumps({"train_slices_per_sec": round(
-            measure_pixellink(pb, args.iters), 2), "batch": pb}))
+            measure_pixellink(pb, args.iters, version=args.pl_version),
+            2), "batch": pb, "version": args.pl_version}))
         return
 
     tpu_sps, mfu, flops = measure_jax(batch, args.iters, args.size)
