@@ -210,8 +210,11 @@ class _BlockDiagConv(nn.Module):
         # layouts that sink XLA's G=4 grouped lowering (see
         # DENSE_GROUPS_MAX_CIN_PER_GROUP notes). Numerics identical:
         # the off-diagonal pair entries are exact zeros.
+        hw_out = ((x.shape[1] // self.strides[0])
+                  * (x.shape[2] // self.strides[1]))
         pair = (DENSE_PAIR and self.groups % 2 == 0 and self.groups > 2
-                and cgi >= DENSE_PAIR_MIN_CGI)
+                and cgi >= DENSE_PAIR_MIN_CGI
+                and hw_out <= DENSE_PAIR_MAX_HW)
         if pair:
             parts = [
                 jnp.pad(w[:, :, :, g * cgo:(g + 1) * cgo],
@@ -295,9 +298,17 @@ DENSE_GROUPS_MAX_CIN_PER_GROUP = int(
     os.environ.get("GSSD_DENSE_MAX_CGI", "65"))
 # pair mode (see _BlockDiagConv): block-diag within group PAIRS lowered
 # as feature_group_count=2 — 2x true MACs instead of Gx. Gated to sites
-# whose paired groups fill the 128-lane tile (cgi >= 64 by default).
-DENSE_PAIR = os.environ.get("GSSD_DENSE_PAIR", "0") == "1"
+# whose paired groups fill the 128-lane tile (cgi >= 64 by default) AND
+# whose spatial extent is small enough that the grouped fgc=2 lowering
+# doesn't re-starve the MXU. Measured on v5e (scripts/ab_bench.py,
+# interleaved same-regime reps, 20 iters): flagship 300^2 b32 — the
+# Cg=64 site sits at 75^2 — 319.3 -> 328.3 slices/s (+2.8%, mfu_hw
+# 0.387 -> 0.365: fewer hardware MACs, less wall time); 512 b8 — the
+# same stage sits at 128^2 — 102.5 -> 100.2 (-2.2%). Hence the
+# spatial gate defaults between 75^2=5625 and 128^2=16384.
+DENSE_PAIR = os.environ.get("GSSD_DENSE_PAIR", "1") == "1"
 DENSE_PAIR_MIN_CGI = int(os.environ.get("GSSD_DENSE_PAIR_MIN_CGI", "64"))
+DENSE_PAIR_MAX_HW = int(os.environ.get("GSSD_DENSE_PAIR_MAX_HW", "8192"))
 
 
 # --- W-pair channel packing for the 64-channel stem ------------------
