@@ -25,7 +25,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 
 H = W = {hw}
-Cg, G, B = {cg}, 4, {batch}
+Cg, G, B, K = {cg}, 4, {batch}, 9
 impl = "{impl}"
 
 from gssd_tpu.ops.deform_conv import deform_conv2d
@@ -36,26 +36,35 @@ else:
 
 rng = np.random.default_rng(0)
 Cin = G * Cg
-x = jnp.asarray(rng.normal(0, 1, (B, H, W, Cin)).astype(np.float32))
-w = jnp.asarray(rng.normal(0, 0.05, (3, 3, Cin, Cin)).astype(np.float32))
+x = jnp.asarray(rng.normal(0, 1, (B, H, W, Cin)).astype(np.float32)
+                ).astype(jnp.bfloat16)
+w = jnp.asarray(rng.normal(0, 0.05, (K, Cin, Cin)).astype(np.float32)
+                ).astype(jnp.bfloat16)
 bias = jnp.zeros((Cin,), jnp.float32)
-off = jnp.asarray((rng.normal(0, {sigma}, (B, H, W, G, 9, 2))
-                   ).astype(np.float32))
-mask = jnp.asarray(rng.uniform(0.3, 1, (B, H, W, G, 9)).astype(np.float32))
+off_y = jnp.asarray(rng.normal(0, {sigma}, (B, H, W, G, K)
+                               ).astype(np.float32))
+off_x = jnp.asarray(rng.normal(0, {sigma}, (B, H, W, G, K)
+                               ).astype(np.float32))
+mask = jnp.asarray(rng.uniform(0.3, 1, (B, H, W, G, K)).astype(np.float32))
 
-def loss(x, w, off, mask):
-    out = op(x, w, bias, off, mask, groups=G)
-    return jnp.sum(out * out)
+def loss(x, w, off_y, off_x, mask):
+    out = op(x, off_y, off_x, mask, w, bias)
+    return jnp.sum(jnp.square(out.astype(jnp.float32)))
 
-f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
-v, grads = f(x, w, off, mask)
-v0 = float(v)  # sync
+f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))
+v, grads = f(x, w, off_y, off_x, mask)
+v0 = float(v)  # sync (burn-in: first call carries tunnel warm-up)
+v, grads = f(x, w, off_y, off_x, mask)
+float(v)
 t0 = time.perf_counter()
-acc = 0.0
 for _ in range(8):
-    v, grads = f(x, w, off, mask)
-    acc += v * 0  # chain
-print("RESULT", float(v) + float(acc), (time.perf_counter() - t0) / 8 * 1e3)
+    # chain the next input to the previous dx grad so the loop can't
+    # overlap (block_until_ready doesn't sync over the tunnel) and the
+    # backward isn't dead code (bench.py _chain pattern)
+    xc = x + (0.0 * grads[0].reshape(-1)[0]).astype(x.dtype)
+    v, grads = f(xc, w, off_y, off_x, mask)
+float(v)  # final D2H sync
+print("RESULT", float(v), (time.perf_counter() - t0) / 8 * 1e3)
 """
 
 
